@@ -1,0 +1,19 @@
+"""lstm_unet_tpu — TPU-native recurrent (ConvLSTM) U-Net cell-segmentation framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capability surface of
+``arbellea/LSTM-UNet`` (TF2/Keras reference; see SURVEY.md — the reference
+mount was empty at survey time, so citations are file-level reconstructions):
+
+- ``config``     — typed params (reference: Params.py)
+- ``io``         — CTC TIFF ingestion + preprocessing (reference: DataHandeling.py)
+- ``ops``        — compute kernels: ConvLSTM, convs, pooling, on-device
+                   postprocess/CCL; Pallas TPU kernels + XLA fallbacks
+- ``models``     — ULSTMnet2D equivalent (reference: Networks.py)
+- ``engine``     — train / streaming-inference drivers (reference: train2D.py,
+                   Inference2D.py)
+- ``parallel``   — mesh/sharding (no reference analog: reference is single-GPU)
+- ``metrics``    — SEG scorer + throughput harness
+- ``checkpoint`` — orbax checkpointing (reference: tf.train.Checkpoint)
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,8 @@
+from .params import (  # noqa: F401
+    NetKernelParams,
+    ParamsBase,
+    CTCParams,
+    CTCInferenceParams,
+    default_net_kernel_params,
+    tiny_net_kernel_params,
+)

@@ -1,0 +1,275 @@
+"""Typed configuration layer.
+
+Reference parity: ``Params.py`` in arbellea/LSTM-UNet (SURVEY.md §2, L0 layer)
+defines ``ParamsBase`` / ``CTCParams`` / ``CTCInferenceParams`` as attribute-bag
+classes whose attributes ARE the config, with CLI argparse overrides mutating
+instances and derived experiment dirs computed in ``__init__``.
+
+This rebuild keeps the knob NAMES (``unroll_len``, ``net_kernel_params``,
+``min_cell_size``, ``FOV``, ``pre_sequence_frames`` …) so reference configs
+translate, but uses typed dataclasses with a JSON round-trip instead of
+pickle (SURVEY.md §5 "Config / flag system").
+
+``net_kernel_params`` schema is preserved verbatim from the reference:
+per-level lists of ``(kernel_size, num_filters)`` tuples under the keys
+``down_conv_kernels`` / ``lstm_kernels`` / ``up_conv_kernels``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+# --------------------------------------------------------------------------
+# net_kernel_params
+# --------------------------------------------------------------------------
+
+# Per-level list of (kernel_size, filters); one outer list entry per U-Net level.
+LevelSpec = List[List[Tuple[int, int]]]
+
+
+@dataclass
+class NetKernelParams:
+    """Architecture description (reference: Params.py ``net_kernel_params`` [M]).
+
+    - ``lstm_kernels[i]``      — ConvLSTM layer(s) at encoder level i
+    - ``down_conv_kernels[i]`` — conv stack after the ConvLSTM at level i
+    - ``up_conv_kernels[i]``   — conv stack at decoder level i (same count of
+      levels; decoder runs in reverse spatial order)
+
+    The final 1x1 conv to ``num_classes`` logits is always appended by the
+    model (reference: Networks.py::ULSTMnet2D final 1x1 conv → 3 logits [M]).
+    """
+
+    lstm_kernels: LevelSpec
+    down_conv_kernels: LevelSpec
+    up_conv_kernels: LevelSpec
+
+    def __post_init__(self):
+        d = len(self.down_conv_kernels)
+        if not (len(self.lstm_kernels) == len(self.up_conv_kernels) == d):
+            raise ValueError(
+                "lstm_kernels / down_conv_kernels / up_conv_kernels must have "
+                f"the same number of levels, got {len(self.lstm_kernels)}/"
+                f"{d}/{len(self.up_conv_kernels)}"
+            )
+        # normalize to tuples so JSON round-trips compare equal
+        self.lstm_kernels = [[tuple(k) for k in lvl] for lvl in self.lstm_kernels]
+        self.down_conv_kernels = [[tuple(k) for k in lvl] for lvl in self.down_conv_kernels]
+        self.up_conv_kernels = [[tuple(k) for k in lvl] for lvl in self.up_conv_kernels]
+
+    @property
+    def depth(self) -> int:
+        return len(self.down_conv_kernels)
+
+    def to_dict(self) -> Dict[str, Any]:
+        return {
+            "lstm_kernels": self.lstm_kernels,
+            "down_conv_kernels": self.down_conv_kernels,
+            "up_conv_kernels": self.up_conv_kernels,
+        }
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "NetKernelParams":
+        return cls(
+            lstm_kernels=d["lstm_kernels"],
+            down_conv_kernels=d["down_conv_kernels"],
+            up_conv_kernels=d["up_conv_kernels"],
+        )
+
+
+def default_net_kernel_params() -> NetKernelParams:
+    """Default 4-level architecture.
+
+    Reconstructed from the reference defaults [M] (SURVEY.md §2 "Train config"):
+    per-level ConvLSTM (5x5) feeding a 2-conv stack, filter widths doubling
+    with depth. Exact reference filter counts are unverifiable (empty mount);
+    these match the paper-scale model (~tens of M params).
+    """
+    return NetKernelParams(
+        lstm_kernels=[[(5, 128)], [(5, 256)], [(5, 256)], [(5, 512)]],
+        down_conv_kernels=[
+            [(3, 128), (3, 128)],
+            [(3, 256), (3, 256)],
+            [(3, 256), (3, 256)],
+            [(3, 512), (3, 512)],
+        ],
+        up_conv_kernels=[
+            [(3, 128), (3, 128)],
+            [(3, 256), (3, 256)],
+            [(3, 256), (3, 256)],
+            [(3, 512), (3, 512)],
+        ],
+    )
+
+
+def tiny_net_kernel_params() -> NetKernelParams:
+    """Small 2-level architecture for tests / smoke runs."""
+    return NetKernelParams(
+        lstm_kernels=[[(3, 8)], [(3, 16)]],
+        down_conv_kernels=[[(3, 8)], [(3, 16)]],
+        up_conv_kernels=[[(3, 8)], [(3, 16)]],
+    )
+
+
+# --------------------------------------------------------------------------
+# ParamsBase
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class ParamsBase:
+    """Base config (reference: Params.py::ParamsBase [M]).
+
+    Derives timestamped experiment log/save dirs from ``experiment_name``
+    under ``root_save_dir`` and resolves checkpoint-continuation paths.
+    """
+
+    experiment_name: str = "MyRun"
+    root_save_dir: str = "./runs"
+    dry_run: bool = False  # reference: params.dry_run skips all writes [M]
+    # derived (filled by resolve_dirs)
+    experiment_log_dir: Optional[str] = None
+    experiment_save_dir: Optional[str] = None
+
+    def resolve_dirs(self, timestamp: Optional[str] = None) -> None:
+        ts = timestamp or time.strftime("%Y-%m-%d_%H%M%S")
+        base = os.path.join(self.root_save_dir, f"{self.experiment_name}_{ts}")
+        self.experiment_log_dir = os.path.join(base, "logs")
+        self.experiment_save_dir = os.path.join(base, "ckpt")
+        if not self.dry_run:
+            os.makedirs(self.experiment_log_dir, exist_ok=True)
+            os.makedirs(self.experiment_save_dir, exist_ok=True)
+
+    # ---- JSON round-trip (replaces the reference's pickle; SURVEY.md §5) ----
+
+    def to_json(self) -> str:
+        def enc(o):
+            if isinstance(o, NetKernelParams):
+                return o.to_dict()
+            raise TypeError(type(o))
+
+        return json.dumps(dataclasses.asdict(self), default=enc, indent=2)
+
+    def save_json(self, path: str) -> None:
+        with open(path, "w") as f:
+            f.write(self.to_json())
+
+    @classmethod
+    def from_json(cls, s: str):
+        d = json.loads(s)
+        return cls.from_dict(d)
+
+    @classmethod
+    def load_json(cls, path: str):
+        with open(path) as f:
+            return cls.from_json(f.read())
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]):
+        fields = {f.name: f for f in dataclasses.fields(cls)}
+        kwargs = {}
+        for k, v in d.items():
+            if k not in fields:
+                continue
+            if k == "net_kernel_params" and isinstance(v, dict):
+                v = NetKernelParams.from_dict(v)
+            kwargs[k] = v
+        return cls(**kwargs)
+
+    def override(self, **kwargs):
+        """Apply CLI-style overrides (reference: argparse mutates Params [M])."""
+        for k, v in kwargs.items():
+            if v is None:
+                continue
+            if not hasattr(self, k):
+                raise AttributeError(f"unknown param: {k}")
+            setattr(self, k, v)
+        return self
+
+
+# --------------------------------------------------------------------------
+# CTCParams — training
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class CTCParams(ParamsBase):
+    """Training config (reference: Params.py::CTCParams [H], knobs [M]).
+
+    Knob names follow the reference so configs translate (SURVEY.md §5).
+    """
+
+    # data
+    root_data_dir: str = "./data/CTC"
+    # list of (dataset_name, sequence_id) pairs, e.g. [("Fluo-N2DH-SIM+", "01")]
+    train_sequence_list: List[Tuple[str, str]] = field(
+        default_factory=lambda: [("Fluo-N2DH-SIM+", "01"), ("Fluo-N2DH-SIM+", "02")]
+    )
+    val_sequence_list: List[Tuple[str, str]] = field(default_factory=list)
+    data_provider_class: str = "CTCRAMReaderSequence2D"
+    crop_size: Tuple[int, int] = (256, 256)  # reference crop [M]
+    batch_size: int = 5       # reference ≈5 [M]
+    unroll_len: int = 7       # reference ≈7 [M]
+    data_format: str = "NHWC"  # TPU-native layout (reference offered NCHW/NHWC [M])
+    num_prefetch_threads: int = 2
+    elastic_augmentation: bool = False
+    randomize: bool = True
+
+    # model
+    net_kernel_params: NetKernelParams = field(default_factory=default_net_kernel_params)
+    num_classes: int = 3  # bg / interior / boundary [H]
+    activation: str = "leaky_relu"   # conv-stack activation [L — verify]
+    recurrent_activation: str = "sigmoid"  # 'hard_sigmoid' for Keras-2.0 parity
+    norm: str = "none"               # optional 'layernorm' (BN presence in ref is [M])
+    dtype: str = "float32"           # compute dtype; 'bfloat16' for TPU speed
+
+    # optimization
+    learning_rate: float = 1e-5      # reference ~1e-5 [M]
+    num_iterations: int = 100000
+    class_weights: Tuple[float, float, float] = (0.15, 0.25, 0.6)  # bg/interior/boundary [M]
+
+    # bookkeeping
+    validation_interval: int = 1000
+    print_to_console_interval: int = 100
+    save_checkpoint_iteration: int = 5000
+    write_to_tb_interval: int = 500
+    save_checkpoint_max_to_keep: int = 5
+    load_checkpoint: bool = False
+    load_checkpoint_path: str = ""
+    continue_run: bool = False
+    profile: bool = False
+
+    # parallel (new in the rebuild; no reference analog — SURVEY.md §2 checklist)
+    mesh_shape: Dict[str, int] = field(default_factory=lambda: {"data": 1})
+    remat: bool = False  # jax.checkpoint the scan body to trade FLOPs for HBM
+
+
+# --------------------------------------------------------------------------
+# CTCInferenceParams
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class CTCInferenceParams(ParamsBase):
+    """Inference config (reference: Params.py::CTCInferenceParams [H], knobs [M])."""
+
+    model_path: str = ""           # dir with orbax ckpt + model_params.json
+    sequence_path: str = ""        # dir of t*.tif frames
+    output_path: str = "./output"
+    filename_format: str = "t*.tif"   # reference default [M]
+    data_format: str = "NHWC"
+    FOV: int = 0                   # CTC field-of-view border rule [M]
+    min_cell_size: int = 10        # drop instances smaller than this [M]
+    max_cell_size: int = 0         # 0 = unlimited
+    edge_thresh: float = 0.3       # boundary-probability threshold [M]
+    cell_thresh: float = 0.5       # interior-probability threshold [M]
+    pre_sequence_frames: int = 4   # LSTM warm-up: initial frames fed reversed [M]
+    save_intermediate: bool = False
+    save_intermediate_path: str = ""
+    dtype: str = "bfloat16"
+    digit_4: bool = False          # True → mask%04d.tif (long sequences, e.g. PSC)

@@ -1,0 +1,233 @@
+"""CTC dataset readers.
+
+Reference parity: ``DataHandeling.py`` (sic) in arbellea/LSTM-UNet
+(SURVEY.md §2 "Training reader"/"Inference reader", §3.4 producer thread):
+
+- ``CTCRAMReaderSequence2D`` — loads whole CTC sequences into RAM, converts
+  instance SEG GT → 3-class maps, augments (crop/flip/rot, brightness/contrast
+  jitter — sampled once per sequence traversal so LSTM state stays coherent
+  across windows), chops into ``unroll_len`` windows, and serves batches from
+  producer threads through a bounded queue. Emits per-lane ``is_last`` flags
+  marking sequence ends so the trainer can reset LSTM state per lane [M].
+- ``CTCInferenceReader`` — globs ``t*.tif`` in a sequence dir and yields
+  frames in order, optionally prefixed by reversed warm-up frames [M].
+
+CTC directory layout (behavioral contract, SURVEY.md §8.1):
+    <root>/<dataset>/<seq>/t*.tif
+    <root>/<dataset>/<seq>_GT/SEG/man_seg*.tif   (possibly sparse)
+    <root>/<dataset>/<seq>_ST/SEG/man_seg*.tif   (silver truth, optional)
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import queue
+import re
+import threading
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import CTCParams
+from ..utils import log_print
+from .preprocess import instance_to_three_class, percentile_normalize_np
+from .tiff import read_tiff
+
+_FRAME_RE = re.compile(r"t(\d+)\.tif$")
+_SEG_RE = re.compile(r"man_seg(\d+)\.tif$")
+
+
+def _frame_index(path: str, pattern: re.Pattern) -> Optional[int]:
+    m = pattern.search(os.path.basename(path))
+    return int(m.group(1)) if m else None
+
+
+class _SequenceData:
+    """One CTC sequence fully resident in RAM (images + 3-class GT + flags)."""
+
+    def __init__(self, images: np.ndarray, seg: np.ndarray, valid: np.ndarray, name: str):
+        self.images = images  # [T,H,W] float32 (percentile-normalized)
+        self.seg = seg        # [T,H,W] uint8 {0,1,2}
+        self.valid = valid    # [T] bool — frame has SEG annotation
+        self.name = name
+
+    def __len__(self) -> int:
+        return self.images.shape[0]
+
+
+def load_ctc_sequence(root: str, dataset: str, seq: str) -> _SequenceData:
+    """Load one CTC sequence + GT into RAM (reference: RAM reader load [H])."""
+    seq_dir = os.path.join(root, dataset, seq)
+    frames = sorted(glob.glob(os.path.join(seq_dir, "t*.tif")))
+    if not frames:
+        raise FileNotFoundError(f"no t*.tif frames under {seq_dir}")
+    imgs = np.stack([percentile_normalize_np(read_tiff(p)) for p in frames])
+
+    t, h, w = imgs.shape
+    seg = np.zeros((t, h, w), dtype=np.uint8)
+    valid = np.zeros((t,), dtype=bool)
+    for gt_kind in ("_GT", "_ST"):
+        seg_dir = os.path.join(root, dataset, seq + gt_kind, "SEG")
+        for p in sorted(glob.glob(os.path.join(seg_dir, "man_seg*.tif"))):
+            idx = _frame_index(p, _SEG_RE)
+            if idx is None or idx >= t or valid[idx]:
+                continue
+            seg[idx] = instance_to_three_class(read_tiff(p))
+            valid[idx] = True
+    return _SequenceData(imgs, seg, valid, f"{dataset}/{seq}")
+
+
+class CTCRAMReaderSequence2D:
+    """Threaded unrolled-batch provider (reference: CTCRAMReaderSequence2D [H]).
+
+    Each of the ``batch_size`` lanes independently walks a randomly chosen
+    sequence in ``unroll_len`` windows with per-traversal augmentation;
+    ``get_batch()`` returns::
+
+        image [B,T,H,W,1] float32,
+        seg   [B,T,H,W]   int32 {0,1,2},
+        valid [B,T]       float32 (frame annotated → contributes to loss),
+        is_last [B]       float32 (window ends its sequence → reset LSTM lane)
+    """
+
+    def __init__(self, params: CTCParams, sequence_list: Optional[Sequence] = None,
+                 num_threads: Optional[int] = None, queue_capacity: int = 16,
+                 seed: int = 0):
+        self.params = params
+        self.crop = tuple(params.crop_size)
+        self.unroll = params.unroll_len
+        self.batch = params.batch_size
+        seq_list = sequence_list if sequence_list is not None else params.train_sequence_list
+        self.sequences = [
+            load_ctc_sequence(params.root_data_dir, ds, sq) for ds, sq in seq_list
+        ]
+        self.num_threads = num_threads if num_threads is not None else params.num_prefetch_threads
+        self._q: queue.Queue = queue.Queue(maxsize=queue_capacity)
+        self._stop = threading.Event()
+        self._threads: List[threading.Thread] = []
+        self._seed = seed
+        self.randomize = params.randomize
+
+    # -- per-lane stream ----------------------------------------------------
+
+    def _new_traversal(self, rng: np.random.Generator):
+        """Pick a sequence + per-traversal augmentation (SURVEY.md §3.4)."""
+        s = self.sequences[rng.integers(len(self.sequences))] if self.randomize else self.sequences[0]
+        t, h, w = s.images.shape
+        ch, cw = self.crop
+        ch, cw = min(ch, h), min(cw, w)
+        aug = {
+            "y0": int(rng.integers(0, h - ch + 1)) if self.randomize else 0,
+            "x0": int(rng.integers(0, w - cw + 1)) if self.randomize else 0,
+            "flip_y": bool(rng.integers(2)) and self.randomize,
+            "flip_x": bool(rng.integers(2)) and self.randomize,
+            "rot90": int(rng.integers(4)) if (self.randomize and ch == cw) else 0,
+            "gain": float(rng.uniform(0.9, 1.1)) if self.randomize else 1.0,
+            "bias": float(rng.uniform(-0.05, 0.05)) if self.randomize else 0.0,
+            "start": 0,
+        }
+        return s, aug
+
+    def _window(self, s: _SequenceData, aug: Dict, start: int):
+        ch, cw = min(self.crop[0], s.images.shape[1]), min(self.crop[1], s.images.shape[2])
+        sl_t = slice(start, start + self.unroll)
+        img = s.images[sl_t, aug["y0"]:aug["y0"] + ch, aug["x0"]:aug["x0"] + cw].copy()
+        seg = s.seg[sl_t, aug["y0"]:aug["y0"] + ch, aug["x0"]:aug["x0"] + cw].astype(np.int32)
+        valid = s.valid[sl_t].astype(np.float32)
+        # pad short tail windows by repeating the last frame; padded frames invalid
+        n = img.shape[0]
+        if n < self.unroll:
+            rep = self.unroll - n
+            img = np.concatenate([img, np.repeat(img[-1:], rep, 0)], 0)
+            seg = np.concatenate([seg, np.repeat(seg[-1:], rep, 0)], 0)
+            valid = np.concatenate([valid, np.zeros(rep, np.float32)], 0)
+        if aug["flip_y"]:
+            img, seg = img[:, ::-1], seg[:, ::-1]
+        if aug["flip_x"]:
+            img, seg = img[:, :, ::-1], seg[:, :, ::-1]
+        if aug["rot90"]:
+            img = np.rot90(img, aug["rot90"], axes=(1, 2))
+            seg = np.rot90(seg, aug["rot90"], axes=(1, 2))
+        img = img * aug["gain"] + aug["bias"]  # photometric jitter [M]
+        is_last = float(start + self.unroll >= len(s))
+        return img.astype(np.float32), seg, valid, is_last
+
+    def _producer(self, tid: int):
+        rng = np.random.default_rng(self._seed + 1000 * tid)
+        lanes = [self._new_traversal(rng) for _ in range(self.batch)]
+        while not self._stop.is_set():
+            imgs, segs, valids, lasts = [], [], [], []
+            for i in range(self.batch):
+                s, aug = lanes[i]
+                img, seg, valid, is_last = self._window(s, aug, aug["start"])
+                imgs.append(img); segs.append(seg); valids.append(valid); lasts.append(is_last)
+                if is_last:
+                    lanes[i] = self._new_traversal(rng)
+                else:
+                    aug["start"] += self.unroll
+            batch = (
+                np.stack(imgs)[..., None],
+                np.stack(segs),
+                np.stack(valids),
+                np.asarray(lasts, np.float32),
+            )
+            while not self._stop.is_set():
+                try:
+                    self._q.put(batch, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    # -- public API (names follow the reference [M]) ------------------------
+
+    def start_queues(self) -> None:
+        for tid in range(self.num_threads):
+            th = threading.Thread(target=self._producer, args=(tid,), daemon=True)
+            th.start()
+            self._threads.append(th)
+        log_print(f"CTCRAMReaderSequence2D: {self.num_threads} producer thread(s) started")
+
+    def get_batch(self):
+        return self._q.get()
+
+    def stop(self) -> None:
+        self._stop.set()
+        for th in self._threads:
+            th.join(timeout=2.0)
+        self._threads.clear()
+
+
+class CTCInferenceReader:
+    """Frame iterator for streaming inference (reference: CTCInferenceReader [H]).
+
+    Yields (frame_index_or_None, normalized_frame [H,W] float32). Warm-up
+    frames (``pre_sequence_frames`` initial frames, reversed) are yielded
+    first with index None — their outputs must be discarded but their state
+    kept (SURVEY.md §3.2 warm-up [M]).
+    """
+
+    def __init__(self, sequence_path: str, filename_format: str = "t*.tif",
+                 pre_sequence_frames: int = 0):
+        self.paths = sorted(glob.glob(os.path.join(sequence_path, filename_format)))
+        if not self.paths:
+            raise FileNotFoundError(
+                f"no frames matching {filename_format} under {sequence_path}")
+        self.pre = min(pre_sequence_frames, len(self.paths))
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def frame_indices(self) -> List[int]:
+        out = []
+        for p in self.paths:
+            idx = _frame_index(p, _FRAME_RE)
+            out.append(idx if idx is not None else len(out))
+        return out
+
+    def __iter__(self):
+        idxs = self.frame_indices()
+        for p in reversed(self.paths[: self.pre]):
+            yield None, percentile_normalize_np(read_tiff(p))
+        for p, idx in zip(self.paths, idxs):
+            yield idx, percentile_normalize_np(read_tiff(p))

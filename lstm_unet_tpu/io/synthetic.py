@@ -1,0 +1,72 @@
+"""Synthetic CTC-format data generator.
+
+No reference analog (the reference trains on downloaded CTC data); this
+exists so tests, golden files, and benchmarks run hermetically in CI without
+the Cell Tracking Challenge download. Generates moving elliptical "cells"
+with instance labels in the CTC directory layout
+(``<root>/<dataset>/<seq>/t*.tif`` + ``<seq>_GT/SEG/man_seg*.tif``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Tuple
+
+import numpy as np
+
+from .tiff import write_tiff
+
+
+def make_cell_sequence(
+    num_frames: int = 12,
+    height: int = 64,
+    width: int = 64,
+    num_cells: int = 4,
+    seed: int = 0,
+    noise: float = 0.05,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Return (images [T,H,W] uint16, labels [T,H,W] uint16) of drifting cells."""
+    rng = np.random.default_rng(seed)
+    cy = rng.uniform(0.2 * height, 0.8 * height, num_cells)
+    cx = rng.uniform(0.2 * width, 0.8 * width, num_cells)
+    vy = rng.uniform(-1.0, 1.0, num_cells)
+    vx = rng.uniform(-1.0, 1.0, num_cells)
+    ry = rng.uniform(height * 0.06, height * 0.12, num_cells)
+    rx = rng.uniform(width * 0.06, width * 0.12, num_cells)
+    inten = rng.uniform(0.5, 1.0, num_cells)
+
+    yy, xx = np.mgrid[0:height, 0:width]
+    imgs = np.zeros((num_frames, height, width), np.float32)
+    labs = np.zeros((num_frames, height, width), np.uint16)
+    for t in range(num_frames):
+        for c in range(num_cells):
+            y, x = cy[c] + vy[c] * t, cx[c] + vx[c] * t
+            d = ((yy - y) / ry[c]) ** 2 + ((xx - x) / rx[c]) ** 2
+            inside = d <= 1.0
+            # later cells overwrite earlier ones where they overlap
+            labs[t][inside] = c + 1
+            imgs[t][inside] = inten[c] * np.exp(-d[inside])
+        imgs[t] += rng.normal(0, noise, (height, width)).astype(np.float32)
+    imgs = np.clip(imgs, 0, None)
+    imgs_u16 = (imgs / max(imgs.max(), 1e-6) * 60000).astype(np.uint16)
+    return imgs_u16, labs
+
+
+def write_ctc_dataset(
+    root: str,
+    dataset: str = "Synth-N2DH",
+    seq: str = "01",
+    annotate_every: int = 1,
+    **kwargs,
+) -> Tuple[str, str]:
+    """Write a synthetic sequence in CTC layout; returns (seq_dir, seg_dir)."""
+    imgs, labs = make_cell_sequence(**kwargs)
+    seq_dir = os.path.join(root, dataset, seq)
+    seg_dir = os.path.join(root, dataset, seq + "_GT", "SEG")
+    os.makedirs(seq_dir, exist_ok=True)
+    os.makedirs(seg_dir, exist_ok=True)
+    for t in range(imgs.shape[0]):
+        write_tiff(os.path.join(seq_dir, f"t{t:03d}.tif"), imgs[t])
+        if t % annotate_every == 0:
+            write_tiff(os.path.join(seg_dir, f"man_seg{t:03d}.tif"), labs[t])
+    return seq_dir, seg_dir

@@ -1,0 +1,199 @@
+"""ULSTMnet2D — recurrent ConvLSTM U-Net, TPU-native.
+
+Reference parity: ``Networks.py::ULSTMnet2D`` + ``DownBlock2D``/``UpBlock2D``
+(SURVEY.md §2 "Full model", §3.3 forward pass):
+
+    per encoder level i:  ConvLSTM(s) → conv stack → skip_i → 2x2 maxpool
+    per decoder level i (reverse): upsample 2x → concat skip_i → conv stack
+    head: 1x1 conv → num_classes logits (softmax taken by callers)
+
+The only cross-frame dataflow is the per-level (h, c) ConvLSTM state
+(SURVEY.md §3.3), so the whole per-frame U-Net is the ``lax.scan`` body and
+the state is the scan carry — this is the TPU-native shape of the reference's
+Keras stateful layers:
+
+- reference ``reset_states_per_batch(is_last)`` → ``reset_lanes`` (pure)
+- reference ``get_states``/``set_states``       → state is already a value
+- streaming inference = calling ``step`` forever with the carried pytree
+  (O(1) memory in sequence length, SURVEY.md §8.4)
+
+Topology is driven by the reference's ``net_kernel_params`` schema verbatim.
+Architecture note: the reference pools after every encoder level, making the
+deepest level the bottleneck ("bottleneck convs" of SURVEY.md §3.3 [M] —
+here they are the deepest up_conv stack); inputs must be padded to a
+multiple of 2**depth (engine does reflect-padding, reference: Inference2D
+pad-to-2^depth [M]).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import NetKernelParams
+from ..ops.conv import activate, conv2d, init_conv, max_pool_2x2, upsample_2x
+from ..ops.convlstm import ConvLSTMCell
+
+# State: one list entry per encoder level; each is a list of (h, c) per
+# ConvLSTM layer in that level.
+State = List[List[Tuple[jax.Array, jax.Array]]]
+Params = Dict[str, Any]
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Static model options (hashable → usable as a jit static arg)."""
+
+    net_kernel_params_json: str  # NetKernelParams as a canonical JSON string
+    in_channels: int = 1
+    num_classes: int = 3
+    activation: str = "leaky_relu"
+    recurrent_activation: str = "sigmoid"
+    upsample: str = "nearest"
+    use_pallas: bool = True
+    dtype: str = "float32"
+
+    @staticmethod
+    def make(nkp: NetKernelParams, **kw) -> "ModelConfig":
+        import json
+
+        return ModelConfig(net_kernel_params_json=json.dumps(nkp.to_dict()), **kw)
+
+    @property
+    def nkp(self) -> NetKernelParams:
+        import json
+
+        return NetKernelParams.from_dict(json.loads(self.net_kernel_params_json))
+
+    @property
+    def compute_dtype(self):
+        return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[self.dtype]
+
+
+class ULSTMnet2D:
+    """Functional model: ``params`` and ``state`` are explicit pytrees."""
+
+    # -- init ---------------------------------------------------------------
+
+    @staticmethod
+    def init(rng: jax.Array, cfg: ModelConfig) -> Params:
+        nkp = cfg.nkp
+        params: Params = {"encoder": [], "decoder": [], "head": None}
+        cin = cfg.in_channels
+        skip_channels: List[int] = []
+
+        for lvl in range(nkp.depth):
+            level: Dict[str, Any] = {"lstm": [], "convs": []}
+            for (k, f) in nkp.lstm_kernels[lvl]:
+                rng, sub = jax.random.split(rng)
+                level["lstm"].append(ConvLSTMCell.init(sub, k, cin, f))
+                cin = f
+            for (k, f) in nkp.down_conv_kernels[lvl]:
+                rng, sub = jax.random.split(rng)
+                level["convs"].append(init_conv(sub, k, k, cin, f))
+                cin = f
+            skip_channels.append(cin)
+            params["encoder"].append(level)
+
+        # decoder, deepest level first at apply time; params stored per level
+        # index (same indexing as up_conv_kernels)
+        dec_cin = skip_channels[-1]  # pooled deepest feature
+        for lvl in reversed(range(nkp.depth)):
+            level = {"convs": []}
+            c = dec_cin + skip_channels[lvl]  # upsampled + skip concat
+            for (k, f) in nkp.up_conv_kernels[lvl]:
+                rng, sub = jax.random.split(rng)
+                level["convs"].append(init_conv(sub, k, k, c, f))
+                c = f
+            dec_cin = c
+            params["decoder"].insert(0, level)
+
+        rng, sub = jax.random.split(rng)
+        params["head"] = init_conv(sub, 1, 1, dec_cin, cfg.num_classes)
+        return params
+
+    @staticmethod
+    def init_state(cfg: ModelConfig, batch: int, height: int, width: int) -> State:
+        nkp = cfg.nkp
+        if height % (2 ** nkp.depth) or width % (2 ** nkp.depth):
+            raise ValueError(
+                f"H,W must be multiples of 2^depth={2 ** nkp.depth}, got {height}x{width}")
+        dt = cfg.compute_dtype
+        state: State = []
+        h, w = height, width
+        for lvl in range(nkp.depth):
+            state.append([
+                ConvLSTMCell.init_state(batch, h, w, f, dt)
+                for (_, f) in nkp.lstm_kernels[lvl]
+            ])
+            h, w = h // 2, w // 2
+        return state
+
+    # -- state management (reference: Networks.py state API [M]) ------------
+
+    @staticmethod
+    def reset_lanes(state: State, is_last: jax.Array) -> State:
+        """Zero state for finished batch lanes (reference:
+        ``reset_states_per_batch(is_last)`` [M]). ``is_last`` is [B]."""
+        def zero(x):
+            mask = is_last.reshape((-1,) + (1,) * (x.ndim - 1)).astype(x.dtype)
+            return x * (1 - mask)
+
+        return jax.tree_util.tree_map(zero, state)
+
+    # -- forward ------------------------------------------------------------
+
+    @staticmethod
+    def step(params: Params, state: State, frame: jax.Array, cfg: ModelConfig
+             ) -> Tuple[State, jax.Array]:
+        """One frame: ([B,H,W,C]) → (new_state, logits [B,H,W,num_classes])."""
+        dt = cfg.compute_dtype
+        x = frame.astype(dt)
+        new_state: State = []
+        skips: List[jax.Array] = []
+
+        for lvl, level in enumerate(params["encoder"]):
+            lvl_state = []
+            for j, cell in enumerate(level["lstm"]):
+                carry, x = ConvLSTMCell.apply(
+                    cell, state[lvl][j], x,
+                    recurrent_activation=cfg.recurrent_activation,
+                    use_pallas=cfg.use_pallas)
+                lvl_state.append(carry)
+            for conv in level["convs"]:
+                x = activate(conv2d(x, conv["kernel"], conv["bias"]), cfg.activation)
+            skips.append(x)
+            new_state.append(lvl_state)
+            x = max_pool_2x2(x)
+
+        for lvl in reversed(range(len(params["decoder"]))):
+            x = upsample_2x(x, cfg.upsample)
+            x = jnp.concatenate([x, skips[lvl]], axis=-1)
+            for conv in params["decoder"][lvl]["convs"]:
+                x = activate(conv2d(x, conv["kernel"], conv["bias"]), cfg.activation)
+
+        logits = conv2d(x, params["head"]["kernel"], params["head"]["bias"])
+        return new_state, logits.astype(jnp.float32)
+
+    @staticmethod
+    def apply(params: Params, state: State, x: jax.Array, cfg: ModelConfig,
+              remat: bool = False) -> Tuple[State, jax.Array]:
+        """Unrolled window: ([B,T,H,W,C]) → (new_state, logits [B,T,H,W,K]).
+
+        ``lax.scan`` over T with the per-frame U-Net as the body
+        (SURVEY.md §3.3: the only cross-frame dataflow is the LSTM state).
+        ``remat=True`` rematerializes the body in the backward pass to trade
+        FLOPs for HBM during BPTT.
+        """
+        def body(carry, frame):
+            new_carry, logits = ULSTMnet2D.step(params, carry, frame, cfg)
+            return new_carry, logits
+
+        if remat:
+            body = jax.checkpoint(body)
+        xs = jnp.moveaxis(x, 1, 0)  # [T,B,H,W,C]
+        state, logits = jax.lax.scan(body, state, xs)
+        return state, jnp.moveaxis(logits, 0, 1)

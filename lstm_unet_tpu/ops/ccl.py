@@ -1,0 +1,93 @@
+"""On-device connected-component labeling (CCL).
+
+Reference parity: ``Inference2D.py`` runs ``cv2.connectedComponents`` on the
+host per frame — a GPU→CPU sync per frame, flagged in SURVEY.md §3.2 as the
+reference's biggest perf sink. BASELINE.json requires CCL on-device.
+
+Algorithm: iterative min-label propagation (SURVEY.md §7 hard-part #1).
+Seeds are linear indices (+1); each round every foreground pixel takes the
+min label over its 8-neighborhood (matching cv2's default 8-connectivity);
+a `lax.while_loop` runs to a fixed point with an iteration bound. The
+converged label of a component is its minimum seed = raster-order-first
+pixel, so compacted labels come out in the same raster order cv2 assigns.
+
+Each propagation round is a handful of cheap VPU shift/min ops on a
+[H, W] i32 grid — bandwidth-trivial at 512²; the fixed point is reached in
+O(component diameter) rounds (we sweep 4 rounds per convergence check to
+amortize the reduction).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+_INF = jnp.iinfo(jnp.int32).max
+
+
+def _neighbor_min(lbl: jax.Array, connectivity: int) -> jax.Array:
+    """Min over the 4- or 8-neighborhood, edges padded with +inf."""
+    p = jnp.pad(lbl, 1, constant_values=_INF)
+    h, w = lbl.shape
+    shifts = [(0, 1), (0, -1), (1, 0), (-1, 0)]
+    if connectivity == 8:
+        shifts += [(1, 1), (1, -1), (-1, 1), (-1, -1)]
+    out = lbl
+    for dy, dx in shifts:
+        out = jnp.minimum(out, jax.lax.dynamic_slice(p, (1 + dy, 1 + dx), (h, w)))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("connectivity", "max_iters"))
+def connected_components(mask: jax.Array, connectivity: int = 8,
+                         max_iters: int = 0) -> jax.Array:
+    """Label a binary mask [H,W] → int32 labels (0 = background).
+
+    Labels are component-min linear indices + 1 (NOT compact); feed through
+    :func:`relabel_compact` for 1..N raster-ordered ids.
+    """
+    h, w = mask.shape
+    mask = mask.astype(bool)
+    idx = (jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
+           + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) + 1)
+    lbl0 = jnp.where(mask, idx, _INF)
+    bound = max_iters or (h + w)
+
+    def cond(state):
+        lbl, changed, it = state
+        return changed & (it < bound)
+
+    def body(state):
+        lbl, _, it = state
+        new = lbl
+        for _ in range(4):  # several sweeps per convergence check
+            new = jnp.where(mask, jnp.minimum(new, _neighbor_min(new, connectivity)), _INF)
+        return new, jnp.any(new != lbl), it + 4
+
+    lbl, _, _ = jax.lax.while_loop(cond, body, (lbl0, jnp.bool_(True), jnp.int32(0)))
+    return jnp.where(mask, lbl, 0).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("min_size", "max_size"))
+def relabel_compact(labels: jax.Array, min_size: int = 0, max_size: int = 0
+                    ) -> Tuple[jax.Array, jax.Array]:
+    """Compact sparse labels to 1..N (raster order), dropping size outliers.
+
+    Reference parity: the `min_cell_size` filter of Inference2D.py [M].
+    Returns (compact_labels int32 [H,W], num_components int32 scalar).
+    """
+    h, w = labels.shape
+    n = h * w + 1
+    counts = jnp.zeros((n,), jnp.int32).at[labels.reshape(-1)].add(1)
+    keep = counts > 0
+    keep = keep.at[0].set(False)
+    if min_size:
+        keep &= counts >= min_size
+    if max_size:
+        keep &= counts <= max_size
+    new_ids = jnp.cumsum(keep.astype(jnp.int32)) * keep  # 0 where dropped
+    out = new_ids[labels.reshape(-1)].reshape(h, w).astype(jnp.int32)
+    return out, jnp.max(new_ids).astype(jnp.int32)

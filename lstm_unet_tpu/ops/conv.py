@@ -1,0 +1,72 @@
+"""2D conv / pool / upsample primitives, NHWC, TPU-native.
+
+Reference parity: the reference delegates these to Keras/cuDNN
+(SURVEY.md §2 — "all heavy lifting is delegated to stock TF/Keras kernels");
+the TPU-native analog is XLA's `conv_general_dilated` (lowers onto the MXU)
+with elementwise activations left for XLA to fuse. SAME padding geometry
+matches TF (SURVEY.md §7 hard-part #4).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_DIMNUMS = ("NHWC", "HWIO", "NHWC")
+
+
+def init_conv(rng: jax.Array, kh: int, kw: int, cin: int, cout: int,
+              dtype=jnp.float32) -> dict:
+    """Glorot-uniform conv kernel + zero bias (Keras Conv2D default init)."""
+    fan_in, fan_out = kh * kw * cin, kh * kw * cout
+    limit = math.sqrt(6.0 / (fan_in + fan_out))
+    kernel = jax.random.uniform(rng, (kh, kw, cin, cout), dtype, -limit, limit)
+    return {"kernel": kernel, "bias": jnp.zeros((cout,), dtype)}
+
+
+def conv2d(x: jax.Array, kernel: jax.Array, bias: Optional[jax.Array] = None,
+           stride: Tuple[int, int] = (1, 1), padding: str = "SAME") -> jax.Array:
+    """NHWC conv; accumulates in f32 on the MXU regardless of input dtype."""
+    y = jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), stride, padding,
+        dimension_numbers=_DIMNUMS,
+        preferred_element_type=jnp.float32,
+    )
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y.astype(x.dtype)
+
+
+def activate(x: jax.Array, kind: str) -> jax.Array:
+    if kind == "leaky_relu":
+        return jax.nn.leaky_relu(x, negative_slope=0.2)
+    if kind == "relu":
+        return jax.nn.relu(x)
+    if kind == "tanh":
+        return jnp.tanh(x)
+    if kind in ("none", "linear"):
+        return x
+    raise ValueError(f"unknown activation {kind!r}")
+
+
+def max_pool_2x2(x: jax.Array) -> jax.Array:
+    """2x2/stride-2 max pool (reference: Keras MaxPool2D between levels [H])."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID",
+    )
+
+
+def upsample_2x(x: jax.Array, method: str = "nearest") -> jax.Array:
+    """2x spatial upsample (reference: Keras UpSampling2D, nearest [M])."""
+    b, h, w, c = x.shape
+    if method == "nearest":
+        # einops-style repeat compiles to a cheap broadcast+reshape on TPU
+        return jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c)).reshape(
+            b, 2 * h, 2 * w, c)
+    if method == "bilinear":
+        return jax.image.resize(x, (b, 2 * h, 2 * w, c), "bilinear").astype(x.dtype)
+    raise ValueError(f"unknown upsample method {method!r}")

@@ -1,0 +1,69 @@
+"""ConvLSTM2D cell — TPU-native.
+
+Reference parity: Keras ``ConvLSTM2D`` as used per encoder level in
+``Networks.py::DownBlock2D`` (SURVEY.md §2, §3.3). Semantics reproduced:
+
+- one convolution over [x, h] producing 4F gate channels (mathematically
+  identical to Keras' separate input/recurrent kernels of equal size, but a
+  single larger MXU matmul — TPU-friendlier),
+- gate order (i, f, candidate, o), unit forget-gate bias init,
+- recurrent_activation 'sigmoid' (or 'hard_sigmoid' for Keras-2.0 parity),
+- explicit (h, c) carry as a pytree — the reference manages Keras layer
+  state via reset_states_per_batch/get_states/set_states (SURVEY.md §2
+  "Full model"); here state is a value, which makes truncated BPTT,
+  per-lane reset, donation, and sharding trivial.
+
+The post-conv gate math runs in the fused Pallas kernel
+(ops/pallas/lstm_gates.py); ``use_pallas=False`` selects the XLA twin.
+
+Init deviation (documented): Keras uses orthogonal init for the recurrent
+kernel; we use glorot-uniform for the whole fused kernel. Initializer choice
+is a training detail, not part of the behavioral contract (SURVEY.md §8).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .conv import conv2d
+from .pallas.lstm_gates import fused_lstm_gate_update, lstm_gate_update_xla
+
+Carry = Tuple[jax.Array, jax.Array]  # (h, c), each [B,H,W,F]
+
+
+class ConvLSTMCell:
+    """Functional ConvLSTM cell: params are a dict pytree, state is explicit."""
+
+    @staticmethod
+    def init(rng: jax.Array, kernel_size: int, in_channels: int, filters: int,
+             dtype=jnp.float32) -> Dict[str, jax.Array]:
+        kh = kw = kernel_size
+        cin = in_channels + filters
+        cout = 4 * filters
+        limit = math.sqrt(6.0 / (kh * kw * cin + kh * kw * cout))
+        kernel = jax.random.uniform(rng, (kh, kw, cin, cout), dtype, -limit, limit)
+        # unit forget-gate bias (Keras unit_forget_bias=True)
+        bias = jnp.zeros((cout,), dtype).at[filters: 2 * filters].set(1.0)
+        return {"kernel": kernel, "bias": bias}
+
+    @staticmethod
+    def init_state(batch: int, height: int, width: int, filters: int,
+                   dtype=jnp.float32) -> Carry:
+        shape = (batch, height, width, filters)
+        return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+    @staticmethod
+    def apply(params: Dict[str, jax.Array], carry: Carry, x: jax.Array, *,
+              recurrent_activation: str = "sigmoid",
+              use_pallas: bool = True) -> Tuple[Carry, jax.Array]:
+        """One timestep: ((h,c), x[B,H,W,Cin]) -> ((h',c'), h')."""
+        h, c = carry
+        xh = jnp.concatenate([x, h.astype(x.dtype)], axis=-1)
+        gates = conv2d(xh, params["kernel"], params["bias"])
+        update = fused_lstm_gate_update if use_pallas else lstm_gate_update_xla
+        c_new, h_new = update(gates, c, recurrent_activation)
+        return (h_new, c_new), h_new

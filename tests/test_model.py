@@ -1,0 +1,119 @@
+"""Model tests (SURVEY.md §4):
+
+- shape contract over net_kernel_params-driven topologies
+- THE core stateful-inference invariant: streaming N frames one-at-a-time
+  ≡ one batched unroll of N frames (reference behavior contract §8.4)
+- per-lane state reset correctness (reference reset_states_per_batch)
+- gradient flow through BPTT
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lstm_unet_tpu.config import NetKernelParams, tiny_net_kernel_params
+from lstm_unet_tpu.models import ModelConfig, ULSTMnet2D
+
+
+def _mk(cfg_kw=None):
+    cfg = ModelConfig.make(tiny_net_kernel_params(), **(cfg_kw or {}))
+    params = ULSTMnet2D.init(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def test_forward_shapes():
+    cfg, params = _mk()
+    B, T, H, W = 2, 3, 16, 24
+    state = ULSTMnet2D.init_state(cfg, B, H, W)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, H, W, 1))
+    state2, logits = ULSTMnet2D.apply(params, state, x, cfg)
+    assert logits.shape == (B, T, H, W, 3)
+    # state shapes preserved
+    for a, b in zip(jax.tree_util.tree_leaves(state), jax.tree_util.tree_leaves(state2)):
+        assert a.shape == b.shape
+
+
+def test_bad_input_size_raises():
+    cfg, params = _mk()
+    with pytest.raises(ValueError):
+        ULSTMnet2D.init_state(cfg, 1, 18, 16)  # 18 not divisible by 4
+
+
+def test_streaming_equals_batched_unroll():
+    """Streaming one frame at a time == one unrolled scan (SURVEY.md §8.4)."""
+    cfg, params = _mk()
+    B, T, H, W = 1, 5, 16, 16
+    x = jax.random.normal(jax.random.PRNGKey(2), (B, T, H, W, 1))
+
+    state = ULSTMnet2D.init_state(cfg, B, H, W)
+    _, batched = ULSTMnet2D.apply(params, state, x, cfg)
+
+    state = ULSTMnet2D.init_state(cfg, B, H, W)
+    step = jax.jit(lambda s, f: ULSTMnet2D.step(params, s, f, cfg))
+    outs = []
+    for t in range(T):
+        state, logits = step(state, x[:, t])
+        outs.append(logits)
+    streamed = jnp.stack(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(batched), np.asarray(streamed),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_state_carry_matters():
+    """Carrying state across windows must change the output (recurrence real)."""
+    cfg, params = _mk()
+    B, H, W = 1, 16, 16
+    x = jax.random.normal(jax.random.PRNGKey(3), (B, 4, H, W, 1))
+    s0 = ULSTMnet2D.init_state(cfg, B, H, W)
+    s_mid, _ = ULSTMnet2D.apply(params, s0, x, cfg)
+    _, with_carry = ULSTMnet2D.apply(params, s_mid, x, cfg)
+    _, without_carry = ULSTMnet2D.apply(params, s0, x, cfg)
+    assert not np.allclose(np.asarray(with_carry), np.asarray(without_carry))
+
+
+def test_reset_lanes():
+    cfg, params = _mk()
+    B, H, W = 3, 16, 16
+    x = jax.random.normal(jax.random.PRNGKey(4), (B, 2, H, W, 1))
+    state = ULSTMnet2D.init_state(cfg, B, H, W)
+    state, _ = ULSTMnet2D.apply(params, state, x, cfg)
+    is_last = jnp.asarray([1.0, 0.0, 1.0])
+    reset = ULSTMnet2D.reset_lanes(state, is_last)
+    for leaf_r, leaf_s in zip(jax.tree_util.tree_leaves(reset),
+                              jax.tree_util.tree_leaves(state)):
+        assert np.all(np.asarray(leaf_r[0]) == 0)
+        assert np.all(np.asarray(leaf_r[2]) == 0)
+        np.testing.assert_array_equal(np.asarray(leaf_r[1]), np.asarray(leaf_s[1]))
+
+
+def test_gradients_flow_and_finite():
+    cfg, params = _mk()
+    B, T, H, W = 2, 3, 16, 16
+    x = jax.random.normal(jax.random.PRNGKey(5), (B, T, H, W, 1))
+    state = ULSTMnet2D.init_state(cfg, B, H, W)
+
+    def loss_fn(p):
+        _, logits = ULSTMnet2D.apply(p, state, x, cfg, remat=True)
+        return jnp.mean(logits ** 2)
+
+    grads = jax.grad(loss_fn)(params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+    # every parameter (incl. deepest lstm + head) receives gradient signal
+    nonzero = [float(jnp.max(jnp.abs(l))) > 0 for l in leaves]
+    assert all(nonzero)
+
+
+def test_pallas_and_xla_paths_agree():
+    nkp = tiny_net_kernel_params()
+    cfg_p = ModelConfig.make(nkp, use_pallas=True)
+    cfg_x = ModelConfig.make(nkp, use_pallas=False)
+    params = ULSTMnet2D.init(jax.random.PRNGKey(0), cfg_p)
+    B, T, H, W = 1, 2, 16, 16
+    x = jax.random.normal(jax.random.PRNGKey(6), (B, T, H, W, 1))
+    s = ULSTMnet2D.init_state(cfg_p, B, H, W)
+    _, a = ULSTMnet2D.apply(params, s, x, cfg_p)
+    _, b = ULSTMnet2D.apply(params, s, x, cfg_x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

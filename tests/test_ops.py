@@ -1,0 +1,182 @@
+"""Unit tests for the op layer (SURVEY.md §4 test plan).
+
+- ConvLSTM cell vs a NumPy reference implementation of the gate math
+- Pallas fused gate update vs the XLA twin (forward + VJP)
+- percentile normalization
+- instance→3-class conversion
+- CCL vs scipy.ndimage.label
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import scipy.ndimage as ndi
+
+from lstm_unet_tpu.io.preprocess import (
+    instance_to_three_class,
+    instance_to_three_class_jax,
+    percentile_normalize,
+    percentile_normalize_np,
+)
+from lstm_unet_tpu.ops.ccl import connected_components, relabel_compact
+from lstm_unet_tpu.ops.convlstm import ConvLSTMCell
+from lstm_unet_tpu.ops.pallas.lstm_gates import (
+    fused_lstm_gate_update,
+    lstm_gate_update_xla,
+)
+from lstm_unet_tpu.ops.postprocess import postprocess_frame
+
+
+# ---------------------------------------------------------------- ConvLSTM
+
+
+def _numpy_convlstm_ref(x, h, c, kernel, bias, recurrent_activation="sigmoid"):
+    """Direct NumPy transcription of the Keras ConvLSTM2D gate math."""
+    from scipy.signal import correlate
+
+    xh = np.concatenate([x, h], axis=-1)  # [H,W,Cin+F]
+    kh, kw, cin, cout = kernel.shape
+    H, W = xh.shape[:2]
+    pad_h, pad_w = kh // 2, kw // 2
+    xp = np.pad(xh, ((pad_h, pad_h), (pad_w, pad_w), (0, 0)))
+    gates = np.zeros((H, W, cout), np.float32)
+    for o in range(cout):
+        acc = np.zeros((H, W), np.float32)
+        for i in range(cin):
+            acc += correlate(xp[..., i], kernel[..., i, o], mode="valid")
+        gates[..., o] = acc + bias[o]
+    F = c.shape[-1]
+    sig = lambda v: 1.0 / (1.0 + np.exp(-v))
+    act = sig if recurrent_activation == "sigmoid" else (
+        lambda v: np.clip(0.2 * v + 0.5, 0, 1))
+    i_g = act(gates[..., 0 * F:1 * F])
+    f_g = act(gates[..., 1 * F:2 * F])
+    g_g = np.tanh(gates[..., 2 * F:3 * F])
+    o_g = act(gates[..., 3 * F:4 * F])
+    c_new = f_g * c + i_g * g_g
+    h_new = o_g * np.tanh(c_new)
+    return c_new, h_new
+
+
+@pytest.mark.parametrize("recurrent_activation", ["sigmoid", "hard_sigmoid"])
+def test_convlstm_cell_matches_numpy(recurrent_activation):
+    key = jax.random.PRNGKey(0)
+    B, H, W, Cin, F, K = 2, 8, 8, 3, 4, 3
+    cell = ConvLSTMCell.init(key, K, Cin, F)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, H, W, Cin), jnp.float32)
+    h0, c0 = ConvLSTMCell.init_state(B, H, W, F)
+    h0 = h0 + jax.random.normal(jax.random.PRNGKey(2), h0.shape) * 0.1
+    c0 = c0 + jax.random.normal(jax.random.PRNGKey(3), c0.shape) * 0.1
+
+    (h1, c1), out = ConvLSTMCell.apply(
+        cell, (h0, c0), x, recurrent_activation=recurrent_activation)
+    np.testing.assert_allclose(out, h1)
+
+    kernel = np.asarray(cell["kernel"])
+    bias = np.asarray(cell["bias"])
+    for b in range(B):
+        c_ref, h_ref = _numpy_convlstm_ref(
+            np.asarray(x[b]), np.asarray(h0[b]), np.asarray(c0[b]),
+            kernel, bias, recurrent_activation)
+        np.testing.assert_allclose(np.asarray(c1[b]), c_ref, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(h1[b]), h_ref, atol=2e-4)
+
+
+def test_pallas_gate_update_matches_xla_fwd_and_bwd():
+    key = jax.random.PRNGKey(0)
+    rows, F = 100, 8  # deliberately not a multiple of the row block
+    gates = jax.random.normal(key, (rows, 4 * F), jnp.float32)
+    c = jax.random.normal(jax.random.PRNGKey(1), (rows, F), jnp.float32)
+
+    c_p, h_p = fused_lstm_gate_update(gates, c, "sigmoid")
+    c_x, h_x = lstm_gate_update_xla(gates, c, "sigmoid")
+    np.testing.assert_allclose(c_p, c_x, atol=1e-6)
+    np.testing.assert_allclose(h_p, h_x, atol=1e-6)
+
+    def loss_p(g, cc):
+        c2, h2 = fused_lstm_gate_update(g, cc, "sigmoid")
+        return jnp.sum(c2 * 0.3 + h2 * 0.7)
+
+    def loss_x(g, cc):
+        c2, h2 = lstm_gate_update_xla(g, cc, "sigmoid")
+        return jnp.sum(c2 * 0.3 + h2 * 0.7)
+
+    gp = jax.grad(loss_p, argnums=(0, 1))(gates, c)
+    gx = jax.grad(loss_x, argnums=(0, 1))(gates, c)
+    np.testing.assert_allclose(gp[0], gx[0], atol=1e-5)
+    np.testing.assert_allclose(gp[1], gx[1], atol=1e-5)
+
+
+# ---------------------------------------------------------------- preprocess
+
+
+def test_percentile_normalize_matches_numpy(rng):
+    img = rng.integers(0, 60000, (33, 47)).astype(np.uint16)
+    a = np.asarray(percentile_normalize(jnp.asarray(img)))
+    b = percentile_normalize_np(img)
+    np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_instance_to_three_class():
+    lab = np.zeros((10, 10), np.uint16)
+    lab[2:5, 2:5] = 1
+    lab[5:8, 5:8] = 2
+    out = instance_to_three_class(lab)
+    assert out[3, 3] == 1          # interior of cell 1
+    assert out[2, 2] == 2          # corner → boundary
+    assert out[0, 0] == 0          # background
+    assert out[5, 5] == 2          # touching cell 1's corner diagonally
+    # jax twin agrees
+    out_j = np.asarray(instance_to_three_class_jax(jnp.asarray(lab)))
+    np.testing.assert_array_equal(out, out_j)
+
+
+# ---------------------------------------------------------------- CCL
+
+
+def test_ccl_matches_scipy(rng):
+    mask = rng.random((48, 64)) > 0.7
+    ours_raw = np.asarray(connected_components(jnp.asarray(mask)))
+    ours, n_ours = relabel_compact(jnp.asarray(ours_raw))
+    ours = np.asarray(ours)
+    ref, n_ref = ndi.label(mask, structure=np.ones((3, 3)))
+    assert int(n_ours) == n_ref
+    # same partition: bijection between label sets
+    for lab in range(1, n_ref + 1):
+        vals = np.unique(ours[ref == lab])
+        assert len(vals) == 1 and vals[0] > 0
+    assert np.all((ours > 0) == mask)
+
+
+def test_relabel_compact_min_size():
+    lab = np.zeros((8, 8), np.int32)
+    lab[0:1, 0:2] = 5   # size 2
+    lab[4:8, 4:8] = 9   # size 16
+    out, n = relabel_compact(jnp.asarray(lab), min_size=4)
+    assert int(n) == 1
+    assert np.all(np.asarray(out)[4:8, 4:8] == 1)
+    assert np.all(np.asarray(out)[0:1, 0:2] == 0)
+
+
+# ---------------------------------------------------------------- postprocess
+
+
+def test_postprocess_frame_end_to_end():
+    h = w = 32
+    probs = np.zeros((h, w, 3), np.float32)
+    probs[..., 0] = 1.0
+    # cell A: interior block + boundary ring
+    probs[4:10, 4:10, 1] = 1.0
+    probs[3:11, 3:11, 2] = np.where(probs[3:11, 3:11, 1] == 0, 1.0, 0.0)
+    # tiny speck below min size
+    probs[20, 20, 1] = 1.0
+    probs[..., 0] = 1.0 - probs[..., 1] - probs[..., 2]
+    lab = np.asarray(postprocess_frame(
+        jnp.asarray(probs), cell_thresh=0.5, edge_thresh=0.3,
+        min_cell_size=5, grow_iters=2))
+    assert lab.max() == 1                 # speck dropped, one instance
+    assert np.all(lab[4:10, 4:10] == 1)   # interior labeled
+    assert lab[3, 3] == 1                 # boundary grew into the ring
+    assert lab[20, 20] == 0
