@@ -1,0 +1,47 @@
+"""Inference CLI.
+
+Reference parity: ``python Inference2D.py --model_path … --sequence_path …
+--output_path …`` (SURVEY.md §1 L3, §3.2). Flags map onto
+``CTCInferenceParams`` fields of the same name.
+
+Usage:
+    python -m lstm_unet_tpu.cli.inference2d --model_path runs/X/ckpt \
+        --sequence_path data/Fluo-N2DH-SIM+/01 --output_path out/01_RES
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from ..config import CTCInferenceParams
+from ..engine.infer import run_inference
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model_path", type=str, required=True)
+    ap.add_argument("--sequence_path", type=str, required=True)
+    ap.add_argument("--output_path", type=str, required=True)
+    ap.add_argument("--filename_format", type=str)
+    ap.add_argument("--FOV", type=int)
+    ap.add_argument("--min_cell_size", type=int)
+    ap.add_argument("--max_cell_size", type=int)
+    ap.add_argument("--cell_thresh", type=float)
+    ap.add_argument("--edge_thresh", type=float)
+    ap.add_argument("--pre_sequence_frames", type=int)
+    ap.add_argument("--save_intermediate", action="store_true", default=None)
+    ap.add_argument("--save_intermediate_path", type=str)
+    ap.add_argument("--dtype", type=str, choices=["float32", "bfloat16"])
+    ap.add_argument("--digit_4", action="store_true", default=None)
+    return ap
+
+
+def main(argv=None) -> None:
+    args = vars(build_parser().parse_args(argv))
+    params = CTCInferenceParams()
+    params.override(**args)
+    run_inference(params)
+
+
+if __name__ == "__main__":
+    main()

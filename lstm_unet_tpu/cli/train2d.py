@@ -1,0 +1,85 @@
+"""Training CLI.
+
+Reference parity: ``python train2D.py [overrides]`` (SURVEY.md §1 L3) —
+argparse overrides mutate a ``CTCParams`` instance. Same contract here:
+every flag maps onto a ``CTCParams`` field of the same name.
+
+Usage:
+    python -m lstm_unet_tpu.cli.train2d --root_data_dir ./data \
+        --num_iterations 10000 --batch_size 5 --unroll_len 7
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from ..config import CTCParams, NetKernelParams
+from ..engine.train import Trainer
+from ..utils import log_print
+
+
+def _parse_seq_list(s: str):
+    # "Fluo-N2DH-SIM+:01,Fluo-N2DH-SIM+:02"
+    out = []
+    for item in s.split(","):
+        ds, seq = item.rsplit(":", 1)
+        out.append((ds, seq))
+    return out
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--experiment_name", type=str)
+    ap.add_argument("--root_save_dir", type=str)
+    ap.add_argument("--root_data_dir", type=str)
+    ap.add_argument("--train_sequence_list", type=_parse_seq_list,
+                    help="e.g. 'Fluo-N2DH-SIM+:01,Fluo-N2DH-SIM+:02'")
+    ap.add_argument("--val_sequence_list", type=_parse_seq_list)
+    ap.add_argument("--crop_size", type=int, nargs=2)
+    ap.add_argument("--batch_size", type=int)
+    ap.add_argument("--unroll_len", type=int)
+    ap.add_argument("--learning_rate", type=float)
+    ap.add_argument("--num_iterations", type=int)
+    ap.add_argument("--class_weights", type=float, nargs=3)
+    ap.add_argument("--net_kernel_params", type=str,
+                    help="JSON file or inline JSON with the architecture")
+    ap.add_argument("--validation_interval", type=int)
+    ap.add_argument("--print_to_console_interval", type=int)
+    ap.add_argument("--save_checkpoint_iteration", type=int)
+    ap.add_argument("--write_to_tb_interval", type=int)
+    ap.add_argument("--load_checkpoint", action="store_true", default=None)
+    ap.add_argument("--load_checkpoint_path", type=str)
+    ap.add_argument("--continue_run", action="store_true", default=None)
+    ap.add_argument("--dry_run", action="store_true", default=None)
+    ap.add_argument("--profile", action="store_true", default=None)
+    ap.add_argument("--dtype", type=str, choices=["float32", "bfloat16"])
+    ap.add_argument("--remat", action="store_true", default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    return ap
+
+
+def main(argv=None) -> None:
+    args = vars(build_parser().parse_args(argv))
+    seed = args.pop("seed")
+    nkp = args.pop("net_kernel_params", None)
+    params = CTCParams()
+    if nkp:
+        try:
+            d = json.loads(nkp)
+        except json.JSONDecodeError:
+            with open(nkp) as f:
+                d = json.load(f)
+        params.net_kernel_params = NetKernelParams.from_dict(d)
+    if args.get("crop_size"):
+        args["crop_size"] = tuple(args["crop_size"])
+    if args.get("class_weights"):
+        args["class_weights"] = tuple(args["class_weights"])
+    params.override(**args)
+    params.resolve_dirs()
+    log_print(f"training: save_dir={params.experiment_save_dir}")
+    Trainer(params, seed=seed).train()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,175 @@
+"""Streaming inference engine.
+
+Reference parity: ``Inference2D.py`` (SURVEY.md §2 "Inference driver", §3.2):
+rebuild the model from the saved architecture file, restore the checkpoint,
+reflect-pad each frame to a multiple of 2^depth, stream frames one at a time
+with LSTM state carried across the whole sequence (never reset), per frame
+softmax → threshold → connected components → min-size filter → boundary
+growth → FOV rule → ``mask###.tif`` uint16, optional intermediate softmax
+dumps.
+
+TPU-native deltas (the reference's biggest perf sink was a GPU→CPU sync +
+OpenCV pass per frame — SURVEY.md §3.2 note):
+- model step + softmax + full instance postprocess are ONE jitted device
+  function per frame; only the final int32 label map crosses to the host
+- the state pytree is donated → zero-copy streaming, O(1) in sequence length
+- TIFF encoding runs on a writer thread, overlapped with the next frame
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import queue
+import threading
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..checkpoint import CheckpointManager, load_model_params
+from ..config import CTCInferenceParams, NetKernelParams
+from ..io.dataset import CTCInferenceReader
+from ..io.preprocess import pad_to_multiple
+from ..io.tiff import write_tiff
+from ..models import ModelConfig, ULSTMnet2D
+from ..ops.postprocess import postprocess_frame
+from ..utils import log_print
+
+
+def load_model(model_path: str, dtype: Optional[str] = None
+               ) -> Tuple[Any, ModelConfig]:
+    """Rebuild model from model_params.json + orbax ckpt (reference: pickled
+    arch + tf Checkpoint.restore [M])."""
+    arch = load_model_params(model_path)
+    cfg_kw = dict(arch["model_config"])
+    if dtype is not None:
+        cfg_kw["dtype"] = dtype
+    cfg = ModelConfig(**cfg_kw)
+    # init abstractly to get the param tree structure, then restore real values
+    abstract = jax.eval_shape(
+        lambda: ULSTMnet2D.init(jax.random.PRNGKey(0), cfg))
+    mgr = CheckpointManager(model_path)
+    params = mgr.restore_params_only(abstract)
+    return params, cfg
+
+
+class StreamingInferenceEngine:
+    """Stateful O(1)-memory streaming over arbitrarily long sequences."""
+
+    def __init__(self, params, cfg: ModelConfig, ip: CTCInferenceParams):
+        self.params = params
+        self.cfg = cfg
+        self.ip = ip
+        self.depth_multiple = 2 ** cfg.nkp.depth
+        self._step = None
+        self._state = None
+        self._shape = None
+
+    def _build(self, h: int, w: int, batch: int = 1):
+        ip = self.ip
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step(state, frame):
+            new_state, logits = ULSTMnet2D.step(self.params, state, frame, self.cfg)
+            probs = jax.nn.softmax(logits, axis=-1)
+            labels = jax.vmap(
+                lambda p: postprocess_frame(
+                    p,
+                    cell_thresh=ip.cell_thresh,
+                    edge_thresh=ip.edge_thresh,
+                    min_cell_size=ip.min_cell_size,
+                    max_cell_size=ip.max_cell_size,
+                    fov=ip.FOV,
+                )
+            )(probs)
+            return new_state, labels, probs
+
+        self._step = step
+        self._state = ULSTMnet2D.init_state(self.cfg, batch, h, w)
+        self._shape = (batch, h, w)
+
+    def reset(self):
+        self._state = None
+        self._shape = None
+
+    def process_frame(self, frame: np.ndarray):
+        """One frame [H,W] float32 → (labels [H,W] int32, probs [H,W,3]).
+
+        Pads to 2^depth internally and crops the outputs back.
+        """
+        h, w = frame.shape
+        padded, (ph, pw) = pad_to_multiple(frame, self.depth_multiple)
+        if self._shape != (1,) + padded.shape:
+            self._build(*padded.shape)
+        if self._state is None:
+            self._build(*padded.shape)
+        x = jnp.asarray(padded, jnp.float32)[None, ..., None]
+        self._state, labels, probs = self._step(self._state, x)
+        return np.asarray(labels[0, :h, :w]), np.asarray(probs[0, :h, :w])
+
+
+class _AsyncWriter:
+    """Writer thread: overlap host TIFF encode with device compute."""
+
+    def __init__(self):
+        self._q: queue.Queue = queue.Queue(maxsize=8)
+        self._err = None
+        self._t = threading.Thread(target=self._loop, daemon=True)
+        self._t.start()
+
+    def _loop(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            path, arr = item
+            try:
+                write_tiff(path, arr)
+            except Exception as e:  # surfaced on close()
+                self._err = e
+
+    def put(self, path: str, arr: np.ndarray):
+        self._q.put((path, arr))
+
+    def close(self):
+        self._q.put(None)
+        self._t.join()
+        if self._err:
+            raise self._err
+
+
+def run_inference(ip: CTCInferenceParams) -> int:
+    """Full inference driver; returns number of masks written.
+
+    Output contract (SURVEY.md §8.4): per frame a uint16 instance-labeled
+    ``mask###.tif`` under ``output_path``; optional intermediate 3-class
+    probability maps when ``save_intermediate``.
+    """
+    params, cfg = load_model(ip.model_path, dtype=ip.dtype)
+    engine = StreamingInferenceEngine(params, cfg, ip)
+    reader = CTCInferenceReader(ip.sequence_path, ip.filename_format,
+                                ip.pre_sequence_frames)
+    writer = _AsyncWriter()
+    fmt = "mask%04d.tif" if ip.digit_4 else "mask%03d.tif"
+    n = 0
+    try:
+        for idx, frame in reader:
+            labels, probs = engine.process_frame(frame)
+            if idx is None:  # warm-up frame: state kept, output discarded
+                continue
+            if labels.max() > np.iinfo(np.uint16).max:
+                raise ValueError("instance count exceeds uint16")
+            writer.put(os.path.join(ip.output_path, fmt % idx),
+                       labels.astype(np.uint16))
+            if ip.save_intermediate:
+                inter_dir = ip.save_intermediate_path or os.path.join(
+                    ip.output_path, "intermediate")
+                os.makedirs(inter_dir, exist_ok=True)
+                np.save(os.path.join(inter_dir, f"probs{idx:03d}.npy"), probs)
+            n += 1
+    finally:
+        writer.close()
+    log_print(f"inference: wrote {n} masks to {ip.output_path}")
+    return n

@@ -1,0 +1,238 @@
+"""Training engine.
+
+Reference parity: ``train2D.py`` (SURVEY.md §2 "Train driver", §3.1):
+argparse→params, readers, model, Adam, a compiled train step doing forward
+over the unroll window + weighted CE + gradient update, LSTM state carried
+across steps with per-lane reset at sequence ends, periodic validation with
+its own state, TensorBoard scalars, checkpoints + architecture file,
+optional profiler trace, ``dry_run`` skipping writes.
+
+TPU-native shape: the step is one jitted function with donated
+params/opt_state/lstm_state (zero-copy across steps); truncated BPTT falls
+out of the scan window — the carried state is a fresh input each step, so
+gradients stop at window boundaries exactly like the reference's
+``tf.function`` step (SURVEY.md §8.3). Data-parallel runs shard the batch
+over the 'data' mesh axis; XLA inserts the gradient psum.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..checkpoint import CheckpointManager, save_model_params
+from ..config import CTCParams
+from ..io.dataset import CTCRAMReaderSequence2D
+from ..models import ModelConfig, ULSTMnet2D
+from ..parallel import make_mesh, shard_batch
+from ..utils import log_print
+from .loss import weighted_ce_loss
+
+
+def make_train_step(cfg: ModelConfig, optimizer: optax.GradientTransformation,
+                    class_weights, remat: bool = False):
+    """Build the jitted train step.
+
+    (params, opt_state, lstm_state, img, seg, valid, is_last)
+      -> (params, opt_state, lstm_state, metrics)
+    State is donated: streaming BPTT never copies the carry through HBM.
+    """
+
+    def step(params, opt_state, lstm_state, img, seg, valid, is_last):
+        def loss_fn(p):
+            new_state, logits = ULSTMnet2D.apply(p, lstm_state, img, cfg, remat=remat)
+            loss, acc = weighted_ce_loss(logits, seg, valid, tuple(class_weights))
+            return loss, (new_state, acc)
+
+        (loss, (new_state, acc)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        # truncate BPTT + reset finished lanes (reference:
+        # reset_states_per_batch(is_last) after each step [M])
+        new_state = jax.lax.stop_gradient(
+            ULSTMnet2D.reset_lanes(new_state, is_last))
+        gnorm = optax.global_norm(grads)
+        return params, opt_state, new_state, {
+            "loss": loss, "accuracy": acc, "grad_norm": gnorm}
+
+    return jax.jit(step, donate_argnums=(0, 1, 2))
+
+
+def make_eval_step(cfg: ModelConfig, class_weights):
+    def step(params, lstm_state, img, seg, valid, is_last):
+        new_state, logits = ULSTMnet2D.apply(params, lstm_state, img, cfg)
+        loss, acc = weighted_ce_loss(logits, seg, valid, tuple(class_weights))
+        new_state = ULSTMnet2D.reset_lanes(new_state, is_last)
+        return new_state, {"loss": loss, "accuracy": acc}
+
+    return jax.jit(step, donate_argnums=(1,))
+
+
+class Trainer:
+    """End-to-end training driver (reference: train2D.py::main [M])."""
+
+    def __init__(self, params: CTCParams, seed: int = 0):
+        self.p = params
+        if params.experiment_save_dir is None:
+            params.resolve_dirs()
+        self.cfg = ModelConfig.make(
+            params.net_kernel_params,
+            in_channels=1,
+            num_classes=params.num_classes,
+            activation=params.activation,
+            recurrent_activation=params.recurrent_activation,
+            dtype=params.dtype,
+        )
+        self.mesh = make_mesh(params.mesh_shape) if params.mesh_shape else None
+
+        rng = jax.random.PRNGKey(seed)
+        self.model_params = ULSTMnet2D.init(rng, self.cfg)
+        self.optimizer = optax.adam(params.learning_rate)
+        self.opt_state = self.optimizer.init(self.model_params)
+        self.step_fn = make_train_step(
+            self.cfg, self.optimizer, params.class_weights, remat=params.remat)
+        self.eval_fn = make_eval_step(self.cfg, params.class_weights)
+        self.global_step = 0
+
+        # data
+        self.reader = CTCRAMReaderSequence2D(params, seed=seed)
+        self.val_reader = (
+            CTCRAMReaderSequence2D(params, params.val_sequence_list,
+                                   num_threads=1, seed=seed + 17)
+            if params.val_sequence_list else None)
+
+        # bookkeeping
+        self.ckpt: Optional[CheckpointManager] = None
+        self.tb = None
+        if not params.dry_run:
+            self.ckpt = CheckpointManager(
+                params.experiment_save_dir,
+                max_to_keep=params.save_checkpoint_max_to_keep)
+            save_model_params(params.experiment_save_dir, {
+                "model_config": dataclasses.asdict(self.cfg),
+                "train_params": {
+                    "net_kernel_params": params.net_kernel_params.to_dict(),
+                    "num_classes": params.num_classes,
+                    "crop_size": list(params.crop_size),
+                    "unroll_len": params.unroll_len,
+                },
+            })
+            try:
+                from tensorboardX import SummaryWriter
+
+                self.tb = SummaryWriter(params.experiment_log_dir)
+            except Exception as e:  # TB is best-effort observability
+                log_print(f"tensorboard writer unavailable: {e}")
+
+        if params.load_checkpoint or params.continue_run:
+            self._restore(params.load_checkpoint_path)
+
+    # ------------------------------------------------------------------
+
+    def _restore(self, path: str) -> None:
+        mgr = self.ckpt if not path else CheckpointManager(path)
+        abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.model_params)
+        abstract_opt = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.opt_state)
+        self.model_params, self.opt_state, self.global_step = mgr.restore(
+            abstract, abstract_opt)
+        log_print(f"restored checkpoint at step {self.global_step}")
+
+    def _fresh_state(self):
+        h, w = self.p.crop_size
+        state = ULSTMnet2D.init_state(self.cfg, self.p.batch_size, h, w)
+        if self.mesh is not None:
+            state = shard_batch(self.mesh, state)
+        return state
+
+    def _put(self, batch):
+        if self.mesh is not None:
+            return shard_batch(self.mesh, batch)
+        return jax.tree_util.tree_map(jnp.asarray, batch)
+
+    # ------------------------------------------------------------------
+
+    def train(self, num_iterations: Optional[int] = None) -> Dict[str, float]:
+        p = self.p
+        n_iter = num_iterations if num_iterations is not None else p.num_iterations
+        self.reader.start_queues()
+        if self.val_reader:
+            self.val_reader.start_queues()
+
+        lstm_state = self._fresh_state()
+        val_state = self._fresh_state() if self.val_reader else None
+        last: Dict[str, float] = {}
+        t0 = time.time()
+        frames_done = 0
+
+        profiling = False
+        try:
+            for it in range(n_iter):
+                batch = self._put(self.reader.get_batch())
+                img, seg, valid, is_last = batch
+
+                if p.profile and not p.dry_run and it == 10:
+                    jax.profiler.start_trace(p.experiment_log_dir)
+                    profiling = True
+                (self.model_params, self.opt_state, lstm_state, metrics
+                 ) = self.step_fn(self.model_params, self.opt_state,
+                                  lstm_state, img, seg, valid, is_last)
+                if profiling and it == 15:
+                    jax.tree_util.tree_map(
+                        lambda x: x.block_until_ready(), metrics)
+                    jax.profiler.stop_trace()
+                    profiling = False
+
+                self.global_step += 1
+                frames_done += img.shape[0] * img.shape[1]
+
+                if (it + 1) % p.print_to_console_interval == 0 or it == 0:
+                    last = {k: float(v) for k, v in metrics.items()}
+                    dt = time.time() - t0
+                    fps = frames_done / max(dt, 1e-9)
+                    log_print(
+                        f"step {self.global_step}: loss={last['loss']:.4f} "
+                        f"acc={last['accuracy']:.4f} gnorm={last['grad_norm']:.3f} "
+                        f"({fps:.1f} frames/s)")
+                    t0, frames_done = time.time(), 0
+
+                if self.tb and (it + 1) % p.write_to_tb_interval == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    for k, v in m.items():
+                        self.tb.add_scalar(f"train/{k}", v, self.global_step)
+
+                if self.val_reader and (it + 1) % p.validation_interval == 0:
+                    vbatch = self._put(self.val_reader.get_batch())
+                    vimg, vseg, vvalid, vlast = vbatch
+                    val_state, vm = self.eval_fn(
+                        self.model_params, val_state, vimg, vseg, vvalid, vlast)
+                    vm = {k: float(v) for k, v in vm.items()}
+                    log_print(f"  val: loss={vm['loss']:.4f} acc={vm['accuracy']:.4f}")
+                    if self.tb:
+                        for k, v in vm.items():
+                            self.tb.add_scalar(f"val/{k}", v, self.global_step)
+
+                if self.ckpt and (it + 1) % p.save_checkpoint_iteration == 0:
+                    self.ckpt.save(self.global_step, self.model_params, self.opt_state)
+        finally:
+            self.reader.stop()
+            if self.val_reader:
+                self.val_reader.stop()
+            if self.ckpt:
+                self.ckpt.save(self.global_step, self.model_params, self.opt_state)
+                self.ckpt.wait()
+            if self.tb:
+                self.tb.close()
+        if not last:
+            last = {k: float(v) for k, v in metrics.items()}
+        return last

@@ -182,6 +182,9 @@ class CTCRAMReaderSequence2D:
     # -- public API (names follow the reference [M]) ------------------------
 
     def start_queues(self) -> None:
+        if self._threads:
+            return  # already running
+        self._stop.clear()  # reusable after stop()
         for tid in range(self.num_threads):
             th = threading.Thread(target=self._producer, args=(tid,), daemon=True)
             th.start()

@@ -35,6 +35,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 _ROW_BLOCK = 256  # rows of the flattened (B*H*W, F) view handled per program
 
+# Test hook: force the Pallas kernel to run in interpret mode on non-TPU
+# backends instead of dispatching to the XLA twin (see fused_lstm_gate_update).
+FORCE_INTERPRET = False
+
 
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
@@ -184,7 +188,15 @@ def lstm_gate_update_xla(gates: jax.Array, c: jax.Array,
 def fused_lstm_gate_update(gates: jax.Array, c: jax.Array,
                            recurrent_activation: str = "sigmoid"
                            ) -> Tuple[jax.Array, jax.Array]:
-    """Fused (c_new, h_new) from pre-activation gates [..., 4F] and c [..., F]."""
+    """Fused (c_new, h_new) from pre-activation gates [..., 4F] and c [..., F].
+
+    On non-TPU backends the XLA twin runs instead (interpret-mode Pallas is a
+    debugging tool, far too slow for CPU CI training loops); set
+    ``FORCE_INTERPRET=True`` to exercise the real kernel via the interpreter
+    (parity tests do).
+    """
+    if _use_interpret() and not FORCE_INTERPRET:
+        return lstm_gate_update_xla(gates, c, recurrent_activation)
     shape = c.shape
     feat = shape[-1]
     c2, h2 = _fwd_pallas(gates.reshape(-1, 4 * feat), c.reshape(-1, feat),
@@ -200,6 +212,10 @@ def _fwd_rule(gates, c, recurrent_activation):
 def _bwd_rule(recurrent_activation, res, cotangents):
     gates, c = res
     dc_out, dh = cotangents
+    if _use_interpret() and not FORCE_INTERPRET:
+        _, vjp = jax.vjp(
+            lambda g, cc: lstm_gate_update_xla(g, cc, recurrent_activation), gates, c)
+        return vjp((dc_out, dh))
     shape = c.shape
     feat = shape[-1]
     dgates, dc = _bwd_pallas(

@@ -1,0 +1,140 @@
+"""Engine tests (SURVEY.md §4): train on synthetic data (loss decreases),
+checkpoint round-trip into inference, CTC-format output, SEG metric."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lstm_unet_tpu.config import (
+    CTCInferenceParams,
+    CTCParams,
+    tiny_net_kernel_params,
+)
+from lstm_unet_tpu.engine.infer import run_inference
+from lstm_unet_tpu.engine.loss import weighted_ce_loss
+from lstm_unet_tpu.engine.train import Trainer
+from lstm_unet_tpu.io.synthetic import write_ctc_dataset
+from lstm_unet_tpu.io.tiff import read_tiff
+from lstm_unet_tpu.metrics import seg_measure, seg_measure_sequence
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ctc"))
+    write_ctc_dataset(root, num_frames=12, height=32, width=32, num_cells=3,
+                      seed=1)
+    return root
+
+
+def _params(root, tmp, **kw):
+    defaults = dict(
+        root_data_dir=root,
+        train_sequence_list=[("Synth-N2DH", "01")],
+        val_sequence_list=[("Synth-N2DH", "01")],
+        crop_size=(32, 32),
+        batch_size=2,
+        unroll_len=3,
+        net_kernel_params=tiny_net_kernel_params(),
+        learning_rate=3e-3,
+        root_save_dir=str(tmp),
+        print_to_console_interval=20,
+        validation_interval=25,
+        save_checkpoint_iteration=10000,
+        write_to_tb_interval=10000,
+        num_prefetch_threads=1,
+    )
+    defaults.update(kw)
+    return CTCParams(**defaults)
+
+
+def test_weighted_ce_loss_masking():
+    logits = jnp.zeros((1, 2, 4, 4, 3))
+    labels = jnp.ones((1, 2, 4, 4), jnp.int32)
+    valid_all = jnp.ones((1, 2))
+    valid_none = jnp.zeros((1, 2))
+    l1, acc = weighted_ce_loss(logits, labels, valid_all, (1.0, 1.0, 1.0))
+    l0, _ = weighted_ce_loss(logits, labels, valid_none, (1.0, 1.0, 1.0))
+    assert float(l1) == pytest.approx(np.log(3), rel=1e-5)
+    assert float(l0) == 0.0
+
+
+def test_train_loss_decreases_and_ckpt_roundtrip(synth_root, tmp_path):
+    p = _params(synth_root, tmp_path)
+    trainer = Trainer(p, seed=0)
+
+    # measure loss before and after a short training run on the same data
+    first = trainer.train(num_iterations=2)
+    late = trainer.train(num_iterations=60)
+    assert late["loss"] < first["loss"], (first, late)
+
+    # checkpoint was written with arch json
+    save_dir = p.experiment_save_dir
+    assert os.path.exists(os.path.join(save_dir, "model_params.json"))
+
+    # --- inference from the checkpoint produces CTC-format masks ---
+    seq_dir = os.path.join(synth_root, "Synth-N2DH", "01")
+    out_dir = str(tmp_path / "res")
+    ip = CTCInferenceParams(
+        model_path=save_dir,
+        sequence_path=seq_dir,
+        output_path=out_dir,
+        pre_sequence_frames=2,
+        min_cell_size=5,
+        dtype="float32",
+        save_intermediate=True,
+    )
+    n = run_inference(ip)
+    masks = sorted(glob.glob(os.path.join(out_dir, "mask*.tif")))
+    assert n == 12 and len(masks) == 12
+    m0 = read_tiff(masks[0])
+    assert m0.dtype == np.uint16 and m0.shape == (32, 32)
+    probs = sorted(glob.glob(os.path.join(out_dir, "intermediate", "probs*.npy")))
+    assert len(probs) == 12
+    assert np.load(probs[0]).shape == (32, 32, 3)
+
+
+def test_trainer_continue_run(synth_root, tmp_path):
+    p = _params(synth_root, tmp_path, save_checkpoint_iteration=5)
+    t1 = Trainer(p, seed=0)
+    t1.train(num_iterations=6)
+    step1 = t1.global_step
+
+    p2 = _params(synth_root, tmp_path, continue_run=True)
+    p2.experiment_log_dir = p.experiment_log_dir
+    p2.experiment_save_dir = p.experiment_save_dir
+    t2 = Trainer(p2, seed=1)
+    assert t2.global_step == step1
+
+
+# ------------------------------------------------------------------ SEG
+
+
+def test_seg_measure_hand_computed():
+    gt = np.zeros((8, 8), np.int32)
+    pred = np.zeros((8, 8), np.int32)
+    gt[0:4, 0:4] = 1       # 16 px
+    pred[0:4, 0:2] = 7     # overlap 8 px — exactly half, NOT strict majority
+    s, n = seg_measure(gt, pred)
+    assert n == 1 and s == 0.0
+
+    pred[0:4, 0:3] = 7     # overlap 12 px > 8 → J = 12/(16+12-12) = 0.75
+    s, n = seg_measure(gt, pred)
+    assert n == 1 and s == pytest.approx(0.75)
+
+    # second GT object with perfect match
+    gt[6:8, 6:8] = 2
+    pred[6:8, 6:8] = 3
+    s, n = seg_measure(gt, pred)
+    assert n == 2 and s == pytest.approx(0.75 + 1.0)
+
+
+def test_seg_measure_sequence_mean():
+    gt = np.zeros((4, 4), np.int32)
+    gt[0:2, 0:2] = 1
+    score = seg_measure_sequence([gt, gt], [gt, np.zeros_like(gt)])
+    assert score == pytest.approx(0.5)

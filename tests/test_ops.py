@@ -84,7 +84,12 @@ def test_convlstm_cell_matches_numpy(recurrent_activation):
         np.testing.assert_allclose(np.asarray(h1[b]), h_ref, atol=2e-4)
 
 
-def test_pallas_gate_update_matches_xla_fwd_and_bwd():
+def test_pallas_gate_update_matches_xla_fwd_and_bwd(monkeypatch):
+    # exercise the real Pallas kernel via the interpreter on CPU (on non-TPU
+    # backends the op otherwise dispatches to the XLA twin)
+    import lstm_unet_tpu.ops.pallas.lstm_gates as lg
+
+    monkeypatch.setattr(lg, "FORCE_INTERPRET", True)
     key = jax.random.PRNGKey(0)
     rows, F = 100, 8  # deliberately not a multiple of the row block
     gates = jax.random.normal(key, (rows, 4 * F), jnp.float32)
