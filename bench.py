@@ -1,0 +1,103 @@
+"""Benchmark harness — streaming inference frames/sec/chip at 512x512.
+
+This is the headline metric of BASELINE.json ("frames/sec/chip at 512x512
+streaming seq inference"). The timed region is the FULL streaming pipeline
+per frame on device: ULSTMnet2D step (flagship default architecture, bf16)
++ softmax + threshold + connected-component instance labeling + label
+compaction, with the LSTM state carried across frames (donated buffers).
+
+Baseline denominator: the reference publishes no throughput numbers
+(BASELINE.json "published": {}) and the reference mount is empty, so per
+BASELINE.md the denominator is our stack's own first JAX-CPU run
+(single-thread host, recorded below as CPU_BASELINE_FPS). vs_baseline is
+therefore this-run-fps / first-CPU-run-fps on the same workload.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+# First JAX-CPU run of this workload (512x512, flagship arch, bf16, full
+# pipeline), measured on the build host (1 vCPU) — see BASELINE.md.
+CPU_BASELINE_FPS = 0.179
+
+
+def build_pipeline(size: int, dtype: str, tiny: bool):
+    from lstm_unet_tpu.config import default_net_kernel_params, tiny_net_kernel_params
+    from lstm_unet_tpu.models import ModelConfig, ULSTMnet2D
+    from lstm_unet_tpu.ops.postprocess import postprocess_frame
+
+    nkp = tiny_net_kernel_params() if tiny else default_net_kernel_params()
+    cfg = ModelConfig.make(nkp, dtype=dtype)
+    params = ULSTMnet2D.init(jax.random.PRNGKey(0), cfg)
+    state = ULSTMnet2D.init_state(cfg, 1, size, size)
+
+    # params must be an explicit argument: closed-over arrays are baked into
+    # the HLO as constants (bloats the program and breaks remote compile)
+    def step(params, state, frame):
+        new_state, logits = ULSTMnet2D.step(params, state, frame, cfg)
+        probs = jax.nn.softmax(logits[0], axis=-1)
+        labels = postprocess_frame(probs, cell_thresh=0.5, edge_thresh=0.3,
+                                   min_cell_size=10, grow_iters=3)
+        return new_state, labels
+
+    jitted = jax.jit(step, donate_argnums=(1,))
+    params = jax.device_put(params)
+    return (lambda state, frame: jitted(params, state, frame)), state
+
+
+def make_frames(n: int, size: int) -> np.ndarray:
+    from lstm_unet_tpu.io.synthetic import make_cell_sequence
+    from lstm_unet_tpu.io.preprocess import percentile_normalize_np
+
+    imgs, _ = make_cell_sequence(num_frames=n, height=size, width=size,
+                                 num_cells=40, seed=7)
+    return np.stack([percentile_normalize_np(f) for f in imgs])[..., None, :, :, None]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=32)
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--dtype", type=str, default="bfloat16")
+    ap.add_argument("--tiny", action="store_true")
+    args = ap.parse_args()
+
+    step, state = build_pipeline(args.size, args.dtype, args.tiny)
+    frames = make_frames(min(args.frames, 16), args.size)
+    dev_frames = [jax.device_put(jnp.asarray(f)) for f in frames]
+
+    # warm-up: compile + 2 steady-state steps
+    state, labels = step(state, dev_frames[0])
+    state, labels = step(state, dev_frames[1 % len(dev_frames)])
+    labels.block_until_ready()
+
+    t0 = time.perf_counter()
+    for i in range(args.frames):
+        state, labels = step(state, dev_frames[i % len(dev_frames)])
+    labels.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    fps = args.frames / dt
+    out = {
+        "metric": f"streaming inference frames/sec/chip @ {args.size}x{args.size} "
+                  f"(flagship ULSTMnet2D, {args.dtype}, on-device postprocess)",
+        "value": round(fps, 3),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / CPU_BASELINE_FPS, 3),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -70,9 +70,11 @@ class StreamingInferenceEngine:
     def _build(self, h: int, w: int, batch: int = 1):
         ip = self.ip
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def step(state, frame):
-            new_state, logits = ULSTMnet2D.step(self.params, state, frame, self.cfg)
+        # params is an explicit jit argument (closed-over arrays would be
+        # inlined into the HLO as constants — huge programs, slow compiles)
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def step(params, state, frame):
+            new_state, logits = ULSTMnet2D.step(params, state, frame, self.cfg)
             probs = jax.nn.softmax(logits, axis=-1)
             labels = jax.vmap(
                 lambda p: postprocess_frame(
@@ -86,7 +88,8 @@ class StreamingInferenceEngine:
             )(probs)
             return new_state, labels, probs
 
-        self._step = step
+        self._params_dev = jax.device_put(self.params)
+        self._step = lambda state, frame: step(self._params_dev, state, frame)
         self._state = ULSTMnet2D.init_state(self.cfg, batch, h, w)
         self._shape = (batch, h, w)
 

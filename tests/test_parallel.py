@@ -1,0 +1,65 @@
+"""Multi-chip tests on the 8-virtual-device CPU mesh (SURVEY.md §4):
+pjit/mesh paths, dp+sp sharded train step, sharded-vs-single-device parity,
+and the driver contract in __graft_entry__.py."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from lstm_unet_tpu.config import tiny_net_kernel_params
+from lstm_unet_tpu.models import ModelConfig, ULSTMnet2D
+from lstm_unet_tpu.parallel import make_mesh, data_sharding, shard_batch
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh({"data": 4, "spatial": 2})
+    assert mesh.devices.shape == (4, 2)
+    assert mesh.axis_names == ("data", "spatial")
+    with pytest.raises(ValueError):
+        make_mesh({"data": 100})
+
+
+def test_sharded_forward_matches_single_device():
+    """dp+sp sharded forward == unsharded forward (numerics preserved)."""
+    cfg = ModelConfig.make(tiny_net_kernel_params())
+    params = ULSTMnet2D.init(jax.random.PRNGKey(0), cfg)
+    B, T, H, W = 4, 2, 32, 32
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, H, W, 1))
+    state = ULSTMnet2D.init_state(cfg, B, H, W)
+
+    _, ref = ULSTMnet2D.apply(params, state, x, cfg)
+
+    mesh = make_mesh({"data": 4, "spatial": 2})
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None, "spatial")))
+    ss = jax.device_put(state, NamedSharding(mesh, P("data", "spatial")))
+    ps = jax.device_put(params, NamedSharding(mesh, P()))
+    with mesh:
+        _, out = jax.jit(
+            lambda p, s, xx: ULSTMnet2D.apply(p, s, xx, cfg))(ps, ss, xs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_graft_entry_single_chip_traces():
+    """Trace + lower the flagship entry (execution is the driver's TPU job;
+    running the full-size model on the 1-vCPU CI host would take minutes)."""
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    lowered = jax.jit(fn).lower(*args)
+    out_state_shape, logits_shape = jax.eval_shape(fn, *args)
+    assert logits_shape.shape == (1, 256, 256, 3)
+
+
+def test_graft_entry_dryrun_multichip():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+    g.dryrun_multichip(4)
