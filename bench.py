@@ -28,8 +28,9 @@ import jax
 import jax.numpy as jnp
 
 # First JAX-CPU run of this workload (512x512, flagship arch, bf16, full
-# pipeline), measured on the build host (1 vCPU) — see BASELINE.md.
-CPU_BASELINE_FPS = 0.179
+# pipeline: model step + softmax + CCL postprocess), measured on the build
+# host (1 vCPU, XLA CPU): 3 frames in 100.84s — see BASELINE.md.
+CPU_BASELINE_FPS = 0.0297
 
 
 def build_pipeline(size: int, dtype: str, tiny: bool):
@@ -77,15 +78,19 @@ def main():
     frames = make_frames(min(args.frames, 16), args.size)
     dev_frames = [jax.device_put(jnp.asarray(f)) for f in frames]
 
-    # warm-up: compile + 2 steady-state steps
+    # warm-up: compile + 2 steady-state steps. NOTE: sync via a value fetch —
+    # under the axon tunnel block_until_ready() returns before device
+    # execution finishes, so timing must force a host round-trip.
     state, labels = step(state, dev_frames[0])
     state, labels = step(state, dev_frames[1 % len(dev_frames)])
-    labels.block_until_ready()
+    int(jnp.max(labels))
 
     t0 = time.perf_counter()
     for i in range(args.frames):
         state, labels = step(state, dev_frames[i % len(dev_frames)])
-    labels.block_until_ready()
+    # the final labels depend on every prior step through the state chain,
+    # so one fetch syncs the whole timed region
+    int(jnp.max(labels))
     dt = time.perf_counter() - t0
 
     fps = args.frames / dt

@@ -1,0 +1,80 @@
+"""Full CTC 2D benchmark sweep (BASELINE.json config #5).
+
+Runs batched multi-sequence streaming inference over every sequence of every
+dataset found under ``--root_data_dir``, writing CTC-format ``<seq>_RES``
+directories. Sequences are grouped by frame shape so each group streams as
+one batched jitted program.
+
+No direct reference analog — the reference runs Inference2D.py once per
+sequence by hand; this driver is the sweep the reference README describes
+operationally (download → infer each sequence → submit).
+
+Usage:
+    python -m lstm_unet_tpu.cli.ctc_sweep --model_path runs/X/ckpt \
+        --root_data_dir ./data/CTC --output_root ./results
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+from collections import defaultdict
+
+from ..config import CTCInferenceParams
+from ..engine.infer import load_model, run_inference_batched
+from ..io.tiff import read_tiff
+from ..utils import log_print
+
+
+def find_sequences(root: str):
+    """Yield (dataset, seq, seq_dir) for every CTC sequence under root."""
+    for ds in sorted(os.listdir(root)):
+        ds_dir = os.path.join(root, ds)
+        if not os.path.isdir(ds_dir):
+            continue
+        for seq in sorted(os.listdir(ds_dir)):
+            seq_dir = os.path.join(ds_dir, seq)
+            if (os.path.isdir(seq_dir) and not seq.endswith(("_GT", "_ST", "_RES"))
+                    and glob.glob(os.path.join(seq_dir, "t*.tif"))):
+                yield ds, seq, seq_dir
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model_path", type=str, required=True)
+    ap.add_argument("--root_data_dir", type=str, required=True)
+    ap.add_argument("--output_root", type=str, required=True)
+    ap.add_argument("--min_cell_size", type=int, default=10)
+    ap.add_argument("--FOV", type=int, default=0)
+    ap.add_argument("--pre_sequence_frames", type=int, default=4)
+    ap.add_argument("--dtype", type=str, default="bfloat16")
+    ap.add_argument("--max_batch", type=int, default=4)
+    args = ap.parse_args(argv)
+
+    ip = CTCInferenceParams(
+        model_path=args.model_path, min_cell_size=args.min_cell_size,
+        FOV=args.FOV, pre_sequence_frames=args.pre_sequence_frames,
+        dtype=args.dtype)
+    params, cfg = load_model(args.model_path, dtype=args.dtype)
+
+    groups = defaultdict(list)  # frame shape -> [(seq_dir, out_dir)]
+    for ds, seq, seq_dir in find_sequences(args.root_data_dir):
+        first = sorted(glob.glob(os.path.join(seq_dir, "t*.tif")))[0]
+        shape = read_tiff(first).shape
+        out_dir = os.path.join(args.output_root, ds, f"{seq}_RES")
+        groups[shape].append((seq_dir, out_dir))
+
+    total = 0
+    for shape, items in groups.items():
+        log_print(f"sweep: {len(items)} sequence(s) at {shape}")
+        for i in range(0, len(items), args.max_batch):
+            chunk = items[i: i + args.max_batch]
+            total += run_inference_batched(
+                ip, [s for s, _ in chunk], [o for _, o in chunk],
+                params=params, cfg=cfg)
+    log_print(f"sweep complete: {total} masks")
+
+
+if __name__ == "__main__":
+    main()

@@ -219,6 +219,9 @@ class CTCParams(ParamsBase):
     num_prefetch_threads: int = 2
     elastic_augmentation: bool = False
     randomize: bool = True
+    # None = auto: _ST silver truth and "SIM" datasets are fully annotated,
+    # gold _GT on real datasets is partial (only labeled pixels train)
+    gt_is_full_seg: Optional[bool] = None
 
     # model
     net_kernel_params: NetKernelParams = field(default_factory=default_net_kernel_params)

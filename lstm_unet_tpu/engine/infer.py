@@ -143,6 +143,65 @@ class _AsyncWriter:
             raise self._err
 
 
+def run_inference_batched(ip: CTCInferenceParams, sequence_paths, output_paths,
+                          params=None, cfg: Optional[ModelConfig] = None) -> int:
+    """Batched multi-sequence streaming inference (BASELINE.json config #5).
+
+    All sequences must share one frame shape (the CTC sweep driver groups by
+    shape). Lanes whose sequence is exhausted keep streaming their last frame
+    (static shapes under jit) but outputs are discarded. One jitted device
+    program per frame-step serves the whole batch; LSTM state stays per-lane.
+    No reference analog — Inference2D.py is strictly one-sequence-at-a-time;
+    this is the batched TPU upgrade of that driver.
+    """
+    if params is None or cfg is None:
+        params, cfg = load_model(ip.model_path, dtype=ip.dtype)
+    engine = StreamingInferenceEngine(params, cfg, ip)
+    readers = [
+        CTCInferenceReader(sp, ip.filename_format, ip.pre_sequence_frames)
+        for sp in sequence_paths
+    ]
+    iters = [iter(r) for r in readers]
+    writer = _AsyncWriter()
+    fmt = "mask%04d.tif" if ip.digit_4 else "mask%03d.tif"
+    n = 0
+    b = len(readers)
+
+    cur = [next(it) for it in iters]  # (idx, frame) per lane
+    done = [False] * b
+    h, w = cur[0][1].shape
+    padded0, _ = pad_to_multiple(cur[0][1], engine.depth_multiple)
+    engine._build(*padded0.shape, batch=b)
+    try:
+        while not all(done):
+            frames = np.stack([
+                pad_to_multiple(f, engine.depth_multiple)[0] for _, f in cur])
+            if frames.shape[1:] != padded0.shape:
+                raise ValueError("batched inference requires equal frame shapes")
+            x = jnp.asarray(frames, jnp.float32)[..., None]
+            engine._state, labels, probs = engine._step(engine._state, x)
+            labels_np = None
+            for lane in range(b):
+                idx = cur[lane][0]
+                if idx is not None and not done[lane]:
+                    if labels_np is None:
+                        labels_np = np.asarray(labels)
+                    writer.put(os.path.join(output_paths[lane], fmt % idx),
+                               labels_np[lane, :h, :w].astype(np.uint16))
+                    n += 1
+            for lane in range(b):
+                if done[lane]:
+                    continue
+                try:
+                    cur[lane] = next(iters[lane])
+                except StopIteration:
+                    done[lane] = True
+    finally:
+        writer.close()
+    log_print(f"batched inference: wrote {n} masks across {b} sequences")
+    return n
+
+
 def run_inference(ip: CTCInferenceParams) -> int:
     """Full inference driver; returns number of masks written.
 

@@ -41,15 +41,16 @@ def make_train_step(cfg: ModelConfig, optimizer: optax.GradientTransformation,
                     class_weights, remat: bool = False):
     """Build the jitted train step.
 
-    (params, opt_state, lstm_state, img, seg, valid, is_last)
+    (params, opt_state, lstm_state, img, seg, valid, full_seg, is_last)
       -> (params, opt_state, lstm_state, metrics)
     State is donated: streaming BPTT never copies the carry through HBM.
     """
 
-    def step(params, opt_state, lstm_state, img, seg, valid, is_last):
+    def step(params, opt_state, lstm_state, img, seg, valid, full_seg, is_last):
         def loss_fn(p):
             new_state, logits = ULSTMnet2D.apply(p, lstm_state, img, cfg, remat=remat)
-            loss, acc = weighted_ce_loss(logits, seg, valid, tuple(class_weights))
+            loss, acc = weighted_ce_loss(logits, seg, valid, tuple(class_weights),
+                                         full_seg)
             return loss, (new_state, acc)
 
         (loss, (new_state, acc)), grads = jax.value_and_grad(
@@ -68,11 +69,13 @@ def make_train_step(cfg: ModelConfig, optimizer: optax.GradientTransformation,
 
 
 def make_eval_step(cfg: ModelConfig, class_weights):
-    def step(params, lstm_state, img, seg, valid, is_last):
+    def step(params, lstm_state, img, seg, valid, full_seg, is_last):
         new_state, logits = ULSTMnet2D.apply(params, lstm_state, img, cfg)
-        loss, acc = weighted_ce_loss(logits, seg, valid, tuple(class_weights))
+        loss, acc = weighted_ce_loss(logits, seg, valid, tuple(class_weights),
+                                     full_seg)
         new_state = ULSTMnet2D.reset_lanes(new_state, is_last)
-        return new_state, {"loss": loss, "accuracy": acc}
+        pred = jnp.argmax(logits, axis=-1)
+        return new_state, {"loss": loss, "accuracy": acc}, pred
 
     return jax.jit(step, donate_argnums=(1,))
 
@@ -179,14 +182,14 @@ class Trainer:
         try:
             for it in range(n_iter):
                 batch = self._put(self.reader.get_batch())
-                img, seg, valid, is_last = batch
+                img, seg, valid, full_seg, is_last = batch
 
                 if p.profile and not p.dry_run and it == 10:
                     jax.profiler.start_trace(p.experiment_log_dir)
                     profiling = True
                 (self.model_params, self.opt_state, lstm_state, metrics
                  ) = self.step_fn(self.model_params, self.opt_state,
-                                  lstm_state, img, seg, valid, is_last)
+                                  lstm_state, img, seg, valid, full_seg, is_last)
                 if profiling and it == 15:
                     jax.tree_util.tree_map(
                         lambda x: x.block_until_ready(), metrics)
@@ -213,14 +216,26 @@ class Trainer:
 
                 if self.val_reader and (it + 1) % p.validation_interval == 0:
                     vbatch = self._put(self.val_reader.get_batch())
-                    vimg, vseg, vvalid, vlast = vbatch
-                    val_state, vm = self.eval_fn(
-                        self.model_params, val_state, vimg, vseg, vvalid, vlast)
+                    vimg, vseg, vvalid, vfull, vlast = vbatch
+                    val_state, vm, vpred = self.eval_fn(
+                        self.model_params, val_state, vimg, vseg, vvalid,
+                        vfull, vlast)
                     vm = {k: float(v) for k, v in vm.items()}
                     log_print(f"  val: loss={vm['loss']:.4f} acc={vm['accuracy']:.4f}")
                     if self.tb:
                         for k, v in vm.items():
                             self.tb.add_scalar(f"val/{k}", v, self.global_step)
+                        # image summaries: input / GT / prediction of lane 0,
+                        # last frame (reference: tf.summary images [M])
+                        x = np.asarray(vimg[0, -1, :, :, 0])
+                        x = (x - x.min()) / max(x.max() - x.min(), 1e-6)
+                        self.tb.add_image("val/input", x[None], self.global_step)
+                        self.tb.add_image(
+                            "val/gt", np.asarray(vseg[0, -1])[None] / 2.0,
+                            self.global_step)
+                        self.tb.add_image(
+                            "val/pred", np.asarray(vpred[0, -1])[None] / 2.0,
+                            self.global_step)
 
                 if self.ckpt and (it + 1) % p.save_checkpoint_iteration == 0:
                     self.ckpt.save(self.global_step, self.model_params, self.opt_state)

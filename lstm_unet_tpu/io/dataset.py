@@ -46,18 +46,27 @@ def _frame_index(path: str, pattern: re.Pattern) -> Optional[int]:
 class _SequenceData:
     """One CTC sequence fully resident in RAM (images + 3-class GT + flags)."""
 
-    def __init__(self, images: np.ndarray, seg: np.ndarray, valid: np.ndarray, name: str):
-        self.images = images  # [T,H,W] float32 (percentile-normalized)
-        self.seg = seg        # [T,H,W] uint8 {0,1,2}
-        self.valid = valid    # [T] bool — frame has SEG annotation
+    def __init__(self, images: np.ndarray, seg: np.ndarray, valid: np.ndarray,
+                 full_seg: np.ndarray, name: str):
+        self.images = images      # [T,H,W] float32 (percentile-normalized)
+        self.seg = seg            # [T,H,W] uint8 {0,1,2}
+        self.valid = valid        # [T] bool — frame has SEG annotation
+        self.full_seg = full_seg  # [T] bool — annotation covers every cell
         self.name = name
 
     def __len__(self) -> int:
         return self.images.shape[0]
 
 
-def load_ctc_sequence(root: str, dataset: str, seq: str) -> _SequenceData:
-    """Load one CTC sequence + GT into RAM (reference: RAM reader load [H])."""
+def load_ctc_sequence(root: str, dataset: str, seq: str,
+                      gt_is_full_seg: Optional[bool] = None) -> _SequenceData:
+    """Load one CTC sequence + GT into RAM (reference: RAM reader load [H]).
+
+    ``full_seg`` semantics (reference: DataHandeling.py full_seg flag [M]):
+    silver truth (``_ST``) and simulated datasets (name contains "SIM") are
+    fully annotated; gold truth (``_GT``) on real datasets may label only
+    some cells per frame. ``gt_is_full_seg`` overrides the heuristic.
+    """
     seq_dir = os.path.join(root, dataset, seq)
     frames = sorted(glob.glob(os.path.join(seq_dir, "t*.tif")))
     if not frames:
@@ -67,7 +76,9 @@ def load_ctc_sequence(root: str, dataset: str, seq: str) -> _SequenceData:
     t, h, w = imgs.shape
     seg = np.zeros((t, h, w), dtype=np.uint8)
     valid = np.zeros((t,), dtype=bool)
-    for gt_kind in ("_GT", "_ST"):
+    full = np.zeros((t,), dtype=bool)
+    gt_full = gt_is_full_seg if gt_is_full_seg is not None else ("SIM" in dataset)
+    for gt_kind, kind_full in (("_GT", gt_full), ("_ST", True)):
         seg_dir = os.path.join(root, dataset, seq + gt_kind, "SEG")
         for p in sorted(glob.glob(os.path.join(seg_dir, "man_seg*.tif"))):
             idx = _frame_index(p, _SEG_RE)
@@ -75,7 +86,8 @@ def load_ctc_sequence(root: str, dataset: str, seq: str) -> _SequenceData:
                 continue
             seg[idx] = instance_to_three_class(read_tiff(p))
             valid[idx] = True
-    return _SequenceData(imgs, seg, valid, f"{dataset}/{seq}")
+            full[idx] = kind_full
+    return _SequenceData(imgs, seg, valid, full, f"{dataset}/{seq}")
 
 
 class CTCRAMReaderSequence2D:
@@ -88,6 +100,8 @@ class CTCRAMReaderSequence2D:
         image [B,T,H,W,1] float32,
         seg   [B,T,H,W]   int32 {0,1,2},
         valid [B,T]       float32 (frame annotated → contributes to loss),
+        full_seg [B,T]    float32 (frame fully annotated; partial frames train
+                          only on labeled pixels — see engine/loss.py),
         is_last [B]       float32 (window ends its sequence → reset LSTM lane)
     """
 
@@ -99,9 +113,12 @@ class CTCRAMReaderSequence2D:
         self.unroll = params.unroll_len
         self.batch = params.batch_size
         seq_list = sequence_list if sequence_list is not None else params.train_sequence_list
+        gt_full = getattr(params, "gt_is_full_seg", None)
         self.sequences = [
-            load_ctc_sequence(params.root_data_dir, ds, sq) for ds, sq in seq_list
+            load_ctc_sequence(params.root_data_dir, ds, sq, gt_full)
+            for ds, sq in seq_list
         ]
+        self.elastic = params.elastic_augmentation
         self.num_threads = num_threads if num_threads is not None else params.num_prefetch_threads
         self._q: queue.Queue = queue.Queue(maxsize=queue_capacity)
         self._stop = threading.Event()
@@ -126,8 +143,43 @@ class CTCRAMReaderSequence2D:
             "gain": float(rng.uniform(0.9, 1.1)) if self.randomize else 1.0,
             "bias": float(rng.uniform(-0.05, 0.05)) if self.randomize else 0.0,
             "start": 0,
+            "affine": None,
         }
+        if self.elastic and self.randomize:
+            # small affine (rotation/scale/shear), fixed for the whole
+            # traversal so LSTM state stays geometrically coherent
+            # (reference: elastic/affine augmentation option [M])
+            ang = rng.uniform(-10, 10)
+            scale = rng.uniform(0.9, 1.1)
+            shear = rng.uniform(-0.05, 0.05)
+            a = np.deg2rad(ang)
+            m = np.array([[np.cos(a) * scale, -np.sin(a) + shear, 0.0],
+                          [np.sin(a) + shear, np.cos(a) * scale, 0.0]],
+                         np.float32)
+            aug["affine"] = m
         return s, aug
+
+    @staticmethod
+    def _apply_affine(img: np.ndarray, seg: np.ndarray, m: np.ndarray):
+        """Affine-warp a [T,H,W] window (image bilinear, labels nearest)."""
+        try:
+            import cv2
+        except Exception:
+            return img, seg  # cv2-less hosts skip elastic augmentation
+        h, w = img.shape[1:]
+        mm = m.copy()
+        # rotate/scale about the crop center
+        c = np.array([w / 2, h / 2], np.float32)
+        mm[:, 2] = c - mm[:, :2] @ c
+        img = np.stack([
+            cv2.warpAffine(f, mm, (w, h), flags=cv2.INTER_LINEAR,
+                           borderMode=cv2.BORDER_REFLECT) for f in img])
+        seg = np.stack([
+            cv2.warpAffine(f.astype(np.uint8), mm, (w, h),
+                           flags=cv2.INTER_NEAREST,
+                           borderMode=cv2.BORDER_REFLECT).astype(np.int32)
+            for f in seg])
+        return img, seg
 
     def _window(self, s: _SequenceData, aug: Dict, start: int):
         ch, cw = min(self.crop[0], s.images.shape[1]), min(self.crop[1], s.images.shape[2])
@@ -135,6 +187,7 @@ class CTCRAMReaderSequence2D:
         img = s.images[sl_t, aug["y0"]:aug["y0"] + ch, aug["x0"]:aug["x0"] + cw].copy()
         seg = s.seg[sl_t, aug["y0"]:aug["y0"] + ch, aug["x0"]:aug["x0"] + cw].astype(np.int32)
         valid = s.valid[sl_t].astype(np.float32)
+        full_seg = s.full_seg[sl_t].astype(np.float32)
         # pad short tail windows by repeating the last frame; padded frames invalid
         n = img.shape[0]
         if n < self.unroll:
@@ -142,6 +195,7 @@ class CTCRAMReaderSequence2D:
             img = np.concatenate([img, np.repeat(img[-1:], rep, 0)], 0)
             seg = np.concatenate([seg, np.repeat(seg[-1:], rep, 0)], 0)
             valid = np.concatenate([valid, np.zeros(rep, np.float32)], 0)
+            full_seg = np.concatenate([full_seg, np.zeros(rep, np.float32)], 0)
         if aug["flip_y"]:
             img, seg = img[:, ::-1], seg[:, ::-1]
         if aug["flip_x"]:
@@ -149,19 +203,22 @@ class CTCRAMReaderSequence2D:
         if aug["rot90"]:
             img = np.rot90(img, aug["rot90"], axes=(1, 2))
             seg = np.rot90(seg, aug["rot90"], axes=(1, 2))
+        if aug["affine"] is not None:
+            img, seg = self._apply_affine(img, seg, aug["affine"])
         img = img * aug["gain"] + aug["bias"]  # photometric jitter [M]
         is_last = float(start + self.unroll >= len(s))
-        return img.astype(np.float32), seg, valid, is_last
+        return img.astype(np.float32), seg, valid, full_seg, is_last
 
     def _producer(self, tid: int):
         rng = np.random.default_rng(self._seed + 1000 * tid)
         lanes = [self._new_traversal(rng) for _ in range(self.batch)]
         while not self._stop.is_set():
-            imgs, segs, valids, lasts = [], [], [], []
+            imgs, segs, valids, fulls, lasts = [], [], [], [], []
             for i in range(self.batch):
                 s, aug = lanes[i]
-                img, seg, valid, is_last = self._window(s, aug, aug["start"])
-                imgs.append(img); segs.append(seg); valids.append(valid); lasts.append(is_last)
+                img, seg, valid, full_seg, is_last = self._window(s, aug, aug["start"])
+                imgs.append(img); segs.append(seg); valids.append(valid)
+                fulls.append(full_seg); lasts.append(is_last)
                 if is_last:
                     lanes[i] = self._new_traversal(rng)
                 else:
@@ -170,6 +227,7 @@ class CTCRAMReaderSequence2D:
                 np.stack(imgs)[..., None],
                 np.stack(segs),
                 np.stack(valids),
+                np.stack(fulls),
                 np.asarray(lasts, np.float32),
             )
             while not self._stop.is_set():

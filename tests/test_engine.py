@@ -138,3 +138,33 @@ def test_seg_measure_sequence_mean():
     gt[0:2, 0:2] = 1
     score = seg_measure_sequence([gt, gt], [gt, np.zeros_like(gt)])
     assert score == pytest.approx(0.5)
+
+
+def test_full_seg_partial_frames_train_on_labeled_pixels_only():
+    """Partial-annotation masking (reference full_seg indicator [M])."""
+    import jax.numpy as jnp
+
+    logits = jnp.zeros((1, 1, 2, 2, 3)).at[0, 0, 0, 0, 1].set(10.0)
+    labels = jnp.zeros((1, 1, 2, 2), jnp.int32).at[0, 0, 0, 0].set(1)
+    valid = jnp.ones((1, 1))
+    # fully annotated: all 4 pixels count
+    l_full, _ = weighted_ce_loss(logits, labels, valid, (1, 1, 1),
+                                 jnp.ones((1, 1)))
+    # partial: only the labeled pixel counts -> loss ~0 (it's predicted right)
+    l_part, _ = weighted_ce_loss(logits, labels, valid, (1, 1, 1),
+                                 jnp.zeros((1, 1)))
+    assert float(l_part) < 1e-3 < float(l_full)
+
+
+def test_reader_emits_full_seg_and_elastic(synth_root, tmp_path):
+    from lstm_unet_tpu.io.dataset import CTCRAMReaderSequence2D
+
+    p = _params(synth_root, tmp_path, elastic_augmentation=True, dry_run=True)
+    reader = CTCRAMReaderSequence2D(p, num_threads=1)
+    reader.start_queues()
+    img, seg, valid, full_seg, is_last = reader.get_batch()
+    reader.stop()
+    assert full_seg.shape == valid.shape
+    # synthetic dataset name contains no "SIM" and uses _GT -> partial by auto
+    assert np.all(full_seg <= valid)
+    assert sorted(np.unique(seg).tolist()) <= [0, 1, 2]

@@ -1,0 +1,93 @@
+"""Batched multi-sequence inference + CTC sweep CLI + golden determinism."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from lstm_unet_tpu.config import CTCInferenceParams, CTCParams, tiny_net_kernel_params
+from lstm_unet_tpu.engine.infer import run_inference, run_inference_batched
+from lstm_unet_tpu.engine.train import Trainer
+from lstm_unet_tpu.io.synthetic import write_ctc_dataset
+from lstm_unet_tpu.io.tiff import read_tiff
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    """Train a tiny model briefly over two synthetic sequences."""
+    root = str(tmp_path_factory.mktemp("ctc"))
+    write_ctc_dataset(root, dataset="Synth-N2DH", seq="01", num_frames=8,
+                      height=32, width=32, num_cells=3, seed=1)
+    write_ctc_dataset(root, dataset="Synth-N2DH", seq="02", num_frames=6,
+                      height=32, width=32, num_cells=2, seed=2)
+    save = str(tmp_path_factory.mktemp("runs"))
+    p = CTCParams(
+        root_data_dir=root,
+        train_sequence_list=[("Synth-N2DH", "01"), ("Synth-N2DH", "02")],
+        crop_size=(32, 32), batch_size=2, unroll_len=3,
+        net_kernel_params=tiny_net_kernel_params(), learning_rate=3e-3,
+        root_save_dir=save, print_to_console_interval=50,
+        validation_interval=10**6, save_checkpoint_iteration=10**6,
+        write_to_tb_interval=10**6, num_prefetch_threads=1)
+    t = Trainer(p, seed=0)
+    t.train(num_iterations=80)
+    return root, p.experiment_save_dir
+
+
+def test_batched_matches_single_sequence(trained, tmp_path):
+    """Batched lanes must produce the same masks as one-at-a-time streaming
+    (per-lane LSTM state independence)."""
+    root, ckpt = trained
+    seqs = [os.path.join(root, "Synth-N2DH", "01"),
+            os.path.join(root, "Synth-N2DH", "02")]
+    ip = CTCInferenceParams(model_path=ckpt, min_cell_size=5,
+                            pre_sequence_frames=1, dtype="float32")
+
+    outs_b = [str(tmp_path / "b0"), str(tmp_path / "b1")]
+    n = run_inference_batched(ip, seqs, outs_b)
+    assert n == 8 + 6
+
+    for i, seq in enumerate(seqs):
+        ip1 = CTCInferenceParams(
+            model_path=ckpt, sequence_path=seq,
+            output_path=str(tmp_path / f"s{i}"), min_cell_size=5,
+            pre_sequence_frames=1, dtype="float32")
+        run_inference(ip1)
+        for mb in sorted(glob.glob(os.path.join(outs_b[i], "mask*.tif"))):
+            ms = os.path.join(str(tmp_path / f"s{i}"), os.path.basename(mb))
+            np.testing.assert_array_equal(
+                read_tiff(mb), read_tiff(ms),
+                err_msg=f"lane {i} {os.path.basename(mb)}")
+
+
+def test_ctc_sweep_cli(trained, tmp_path):
+    from lstm_unet_tpu.cli.ctc_sweep import main
+
+    root, ckpt = trained
+    out = str(tmp_path / "results")
+    main(["--model_path", ckpt, "--root_data_dir", root,
+          "--output_root", out, "--min_cell_size", "5",
+          "--pre_sequence_frames", "1", "--dtype", "float32"])
+    res01 = glob.glob(os.path.join(out, "Synth-N2DH", "01_RES", "mask*.tif"))
+    res02 = glob.glob(os.path.join(out, "Synth-N2DH", "02_RES", "mask*.tif"))
+    assert len(res01) == 8 and len(res02) == 6
+    assert read_tiff(res01[0]).dtype == np.uint16
+
+
+def test_inference_deterministic(trained, tmp_path):
+    """Golden invariant: identical inputs → bit-identical masks."""
+    root, ckpt = trained
+    seq = os.path.join(root, "Synth-N2DH", "01")
+    outs = []
+    for run in range(2):
+        ip = CTCInferenceParams(
+            model_path=ckpt, sequence_path=seq,
+            output_path=str(tmp_path / f"d{run}"), min_cell_size=5,
+            pre_sequence_frames=2, dtype="float32")
+        run_inference(ip)
+        outs.append(sorted(glob.glob(str(tmp_path / f"d{run}" / "mask*.tif"))))
+    for a, b in zip(*outs):
+        np.testing.assert_array_equal(read_tiff(a), read_tiff(b))
