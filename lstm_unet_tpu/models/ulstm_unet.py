@@ -53,7 +53,12 @@ class ModelConfig:
     activation: str = "leaky_relu"
     recurrent_activation: str = "sigmoid"
     upsample: str = "nearest"
-    use_pallas: bool = True
+    # Measured on v5e (BASELINE.md): XLA fuses the gate activations/state
+    # update into the gate-conv epilogue; routing them through the Pallas
+    # kernel instead inserts a fusion barrier that materializes the 4F gate
+    # tensor in HBM and costs ~3x (109 vs 37 ms/frame @512^2). The Pallas
+    # path stays available (and tested) for kernels where it wins.
+    use_pallas: bool = False
     dtype: str = "float32"
 
     @staticmethod

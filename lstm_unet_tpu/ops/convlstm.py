@@ -3,9 +3,13 @@
 Reference parity: Keras ``ConvLSTM2D`` as used per encoder level in
 ``Networks.py::DownBlock2D`` (SURVEY.md §2, §3.3). Semantics reproduced:
 
-- one convolution over [x, h] producing 4F gate channels (mathematically
-  identical to Keras' separate input/recurrent kernels of equal size, but a
-  single larger MXU matmul — TPU-friendlier),
+- gate pre-activations = conv(x, Wx) + conv(h, Wh) + b over 4F channels —
+  the same separate input/recurrent kernels Keras uses. (Separate convs are
+  also the right MXU shape: a fused conv over concat([x, h]) has
+  Cin = in_channels + F, which at the first level is 1+F — one lane past a
+  tile boundary, so the MXU pads the reduction dim to the next multiple of
+  128 and nearly doubles the dominant conv's cost; the split h-conv keeps
+  Cin = F, perfectly tiled, and skips materializing the concat buffer.)
 - gate order (i, f, candidate, o), unit forget-gate bias init,
 - recurrent_activation 'sigmoid' (or 'hard_sigmoid' for Keras-2.0 parity),
 - explicit (h, c) carry as a pytree — the reference manages Keras layer
@@ -17,8 +21,8 @@ The post-conv gate math runs in the fused Pallas kernel
 (ops/pallas/lstm_gates.py); ``use_pallas=False`` selects the XLA twin.
 
 Init deviation (documented): Keras uses orthogonal init for the recurrent
-kernel; we use glorot-uniform for the whole fused kernel. Initializer choice
-is a training detail, not part of the behavioral contract (SURVEY.md §8).
+kernel; we use glorot-uniform for both kernels. Initializer choice is a
+training detail, not part of the behavioral contract (SURVEY.md §8).
 """
 
 from __future__ import annotations
@@ -42,13 +46,17 @@ class ConvLSTMCell:
     def init(rng: jax.Array, kernel_size: int, in_channels: int, filters: int,
              dtype=jnp.float32) -> Dict[str, jax.Array]:
         kh = kw = kernel_size
-        cin = in_channels + filters
         cout = 4 * filters
-        limit = math.sqrt(6.0 / (kh * kw * cin + kh * kw * cout))
-        kernel = jax.random.uniform(rng, (kh, kw, cin, cout), dtype, -limit, limit)
+        rx, rh = jax.random.split(rng)
+        lim_x = math.sqrt(6.0 / (kh * kw * in_channels + kh * kw * cout))
+        lim_h = math.sqrt(6.0 / (kh * kw * filters + kh * kw * cout))
+        kernel_x = jax.random.uniform(rx, (kh, kw, in_channels, cout), dtype,
+                                      -lim_x, lim_x)
+        kernel_h = jax.random.uniform(rh, (kh, kw, filters, cout), dtype,
+                                      -lim_h, lim_h)
         # unit forget-gate bias (Keras unit_forget_bias=True)
         bias = jnp.zeros((cout,), dtype).at[filters: 2 * filters].set(1.0)
-        return {"kernel": kernel, "bias": bias}
+        return {"kernel_x": kernel_x, "kernel_h": kernel_h, "bias": bias}
 
     @staticmethod
     def init_state(batch: int, height: int, width: int, filters: int,
@@ -62,8 +70,8 @@ class ConvLSTMCell:
               use_pallas: bool = True) -> Tuple[Carry, jax.Array]:
         """One timestep: ((h,c), x[B,H,W,Cin]) -> ((h',c'), h')."""
         h, c = carry
-        xh = jnp.concatenate([x, h.astype(x.dtype)], axis=-1)
-        gates = conv2d(xh, params["kernel"], params["bias"])
+        gates = (conv2d(x, params["kernel_x"], params["bias"])
+                 + conv2d(h.astype(x.dtype), params["kernel_h"]))
         update = fused_lstm_gate_update if use_pallas else lstm_gate_update_xla
         c_new, h_new = update(gates, c, recurrent_activation)
         return (h_new, c_new), h_new

@@ -32,21 +32,24 @@ from lstm_unet_tpu.ops.postprocess import postprocess_frame
 # ---------------------------------------------------------------- ConvLSTM
 
 
-def _numpy_convlstm_ref(x, h, c, kernel, bias, recurrent_activation="sigmoid"):
-    """Direct NumPy transcription of the Keras ConvLSTM2D gate math."""
+def _numpy_convlstm_ref(x, h, c, kernel_x, kernel_h, bias,
+                        recurrent_activation="sigmoid"):
+    """Direct NumPy transcription of the Keras ConvLSTM2D gate math
+    (separate input/recurrent kernels, SAME padding)."""
     from scipy.signal import correlate
 
-    xh = np.concatenate([x, h], axis=-1)  # [H,W,Cin+F]
-    kh, kw, cin, cout = kernel.shape
-    H, W = xh.shape[:2]
-    pad_h, pad_w = kh // 2, kw // 2
-    xp = np.pad(xh, ((pad_h, pad_h), (pad_w, pad_w), (0, 0)))
-    gates = np.zeros((H, W, cout), np.float32)
-    for o in range(cout):
-        acc = np.zeros((H, W), np.float32)
-        for i in range(cin):
-            acc += correlate(xp[..., i], kernel[..., i, o], mode="valid")
-        gates[..., o] = acc + bias[o]
+    def conv(img, kernel):
+        kh, kw, cin, cout = kernel.shape
+        H, W = img.shape[:2]
+        xp = np.pad(img, ((kh // 2, kh // 2), (kw // 2, kw // 2), (0, 0)))
+        out = np.zeros((H, W, cout), np.float32)
+        for o in range(cout):
+            for i in range(cin):
+                out[..., o] += correlate(xp[..., i], kernel[..., i, o],
+                                         mode="valid")
+        return out
+
+    gates = conv(x, kernel_x) + conv(h, kernel_h) + bias
     F = c.shape[-1]
     sig = lambda v: 1.0 / (1.0 + np.exp(-v))
     act = sig if recurrent_activation == "sigmoid" else (
@@ -74,12 +77,13 @@ def test_convlstm_cell_matches_numpy(recurrent_activation):
         cell, (h0, c0), x, recurrent_activation=recurrent_activation)
     np.testing.assert_allclose(out, h1)
 
-    kernel = np.asarray(cell["kernel"])
+    kernel_x = np.asarray(cell["kernel_x"])
+    kernel_h = np.asarray(cell["kernel_h"])
     bias = np.asarray(cell["bias"])
     for b in range(B):
         c_ref, h_ref = _numpy_convlstm_ref(
             np.asarray(x[b]), np.asarray(h0[b]), np.asarray(c0[b]),
-            kernel, bias, recurrent_activation)
+            kernel_x, kernel_h, bias, recurrent_activation)
         np.testing.assert_allclose(np.asarray(c1[b]), c_ref, atol=2e-4)
         np.testing.assert_allclose(np.asarray(h1[b]), h_ref, atol=2e-4)
 

@@ -63,3 +63,18 @@ def test_graft_entry_dryrun_multichip():
 
     g.dryrun_multichip(8)
     g.dryrun_multichip(4)
+
+
+def test_halo_conv_matches_unsharded():
+    """Explicit ppermute halo-exchange conv == plain SAME conv (SURVEY.md §2
+    SP/CP row — the spatial-parallel path)."""
+    from lstm_unet_tpu.ops.conv import conv2d, init_conv
+    from lstm_unet_tpu.parallel.halo import halo_conv2d
+
+    mesh = make_mesh({"spatial": 4})
+    p = init_conv(jax.random.PRNGKey(0), 5, 3, 8, 16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 24, 8))
+    ref = conv2d(x, p["kernel"], p["bias"])
+    xs = jax.device_put(x, NamedSharding(mesh, P(None, "spatial")))
+    out = halo_conv2d(xs, p["kernel"], p["bias"], mesh=mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
