@@ -36,6 +36,10 @@ from ..parallel import make_mesh, shard_batch
 from ..utils import log_print
 from .loss import weighted_ce_loss
 
+# data-provider registry (reference: Params.data_provider_class names the
+# reader class to instantiate [M]); extendable by downstream users
+DATA_PROVIDERS = {"CTCRAMReaderSequence2D": CTCRAMReaderSequence2D}
+
 
 def make_train_step(cfg: ModelConfig, optimizer: optax.GradientTransformation,
                     class_weights, remat: bool = False):
@@ -75,7 +79,16 @@ def make_eval_step(cfg: ModelConfig, class_weights):
                                      full_seg)
         new_state = ULSTMnet2D.reset_lanes(new_state, is_last)
         pred = jnp.argmax(logits, axis=-1)
-        return new_state, {"loss": loss, "accuracy": acc}, pred
+        # approximate SEG proxy tracked during validation (reference:
+        # seg_measure-style helper [L]): interior-class IoU on valid frames
+        mask = valid[:, :, None, None] > 0
+        p1 = (pred == 1) & mask
+        g1 = (seg == 1) & mask
+        inter = jnp.sum(p1 & g1)
+        union = jnp.maximum(jnp.sum(p1 | g1), 1)
+        seg_proxy = inter / union
+        return new_state, {"loss": loss, "accuracy": acc,
+                           "seg_proxy": seg_proxy}, pred
 
     return jax.jit(step, donate_argnums=(1,))
 
@@ -106,11 +119,16 @@ class Trainer:
         self.eval_fn = make_eval_step(self.cfg, params.class_weights)
         self.global_step = 0
 
-        # data
-        self.reader = CTCRAMReaderSequence2D(params, seed=seed)
+        # data (reference: params.data_provider_class selects the reader [M])
+        provider = DATA_PROVIDERS.get(params.data_provider_class)
+        if provider is None:
+            raise ValueError(
+                f"unknown data_provider_class {params.data_provider_class!r}; "
+                f"registered: {sorted(DATA_PROVIDERS)}")
+        self.reader = provider(params, seed=seed)
         self.val_reader = (
-            CTCRAMReaderSequence2D(params, params.val_sequence_list,
-                                   num_threads=1, seed=seed + 17)
+            provider(params, params.val_sequence_list,
+                     num_threads=1, seed=seed + 17)
             if params.val_sequence_list else None)
 
         # bookkeeping
@@ -221,7 +239,9 @@ class Trainer:
                         self.model_params, val_state, vimg, vseg, vvalid,
                         vfull, vlast)
                     vm = {k: float(v) for k, v in vm.items()}
-                    log_print(f"  val: loss={vm['loss']:.4f} acc={vm['accuracy']:.4f}")
+                    log_print(f"  val: loss={vm['loss']:.4f} "
+                              f"acc={vm['accuracy']:.4f} "
+                              f"seg_proxy={vm['seg_proxy']:.4f}")
                     if self.tb:
                         for k, v in vm.items():
                             self.tb.add_scalar(f"val/{k}", v, self.global_step)

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from .ccl import connected_components, relabel_compact
+from .pallas.ccl import connected_components_pallas
 
 
 def _neighbor_max(lbl: jax.Array) -> jax.Array:
@@ -34,7 +35,7 @@ def _neighbor_max(lbl: jax.Array) -> jax.Array:
 @functools.partial(
     jax.jit,
     static_argnames=("cell_thresh", "edge_thresh", "min_cell_size",
-                     "max_cell_size", "fov", "grow_iters"),
+                     "max_cell_size", "fov", "grow_iters", "use_pallas_ccl"),
 )
 def postprocess_frame(
     probs: jax.Array,
@@ -44,6 +45,7 @@ def postprocess_frame(
     max_cell_size: int = 0,
     fov: int = 0,
     grow_iters: int = 3,
+    use_pallas_ccl: bool = False,
 ) -> jax.Array:
     """3-class probabilities [H,W,3] → instance labels [H,W] int32.
 
@@ -60,7 +62,14 @@ def postprocess_frame(
     probs = probs.astype(jnp.float32)
     h, w = probs.shape[0], probs.shape[1]
     interior = probs[..., 1] > cell_thresh
-    raw = connected_components(interior, connectivity=8)
+    # The VMEM-resident Pallas CCL wins standalone (2.41 vs 3.29 ms @512^2,
+    # bit-identical) but LOSES ~15% fused into the full streaming program
+    # (pallas_call layout boundary serializes against model compute —
+    # BASELINE.md), so the XLA twin is the default here.
+    if use_pallas_ccl:
+        raw = connected_components_pallas(interior)
+    else:
+        raw = connected_components(interior, connectivity=8)
     lbl, _ = relabel_compact(raw, min_size=min_cell_size, max_size=max_cell_size)
 
     if grow_iters > 0:

@@ -189,3 +189,15 @@ def test_postprocess_frame_end_to_end():
     assert np.all(lab[4:10, 4:10] == 1)   # interior labeled
     assert lab[3, 3] == 1                 # boundary grew into the ring
     assert lab[20, 20] == 0
+
+
+def test_pallas_ccl_matches_xla(monkeypatch, rng):
+    """Pallas CCL (interpret mode on CPU) == XLA min-propagation twin."""
+    import lstm_unet_tpu.ops.pallas.lstm_gates as lg
+    from lstm_unet_tpu.ops.pallas.ccl import connected_components_pallas
+
+    monkeypatch.setattr(lg, "FORCE_INTERPRET", True)
+    mask = rng.random((32, 64)) > 0.7
+    a = np.asarray(connected_components_pallas(jnp.asarray(mask)))
+    b = np.asarray(connected_components(jnp.asarray(mask), connectivity=8))
+    np.testing.assert_array_equal(a, b)
