@@ -74,6 +74,13 @@ class StreamingInferenceEngine:
         # inlined into the HLO as constants — huge programs, slow compiles)
         @functools.partial(jax.jit, donate_argnums=(1,))
         def step(params, state, frame):
+            # percentile normalization on device: the reference normalizes
+            # per frame on the host (SURVEY.md §2 "Inference reader") which
+            # on a thin host would bottleneck the streaming loop
+            flat = frame.reshape(frame.shape[0], -1)
+            lo = jnp.percentile(flat, 1.0, axis=1)[:, None, None, None]
+            hi = jnp.percentile(flat, 99.0, axis=1)[:, None, None, None]
+            frame = (frame - lo) / jnp.maximum(hi - lo, 1e-6)
             new_state, logits = ULSTMnet2D.step(params, state, frame, self.cfg)
             probs = jax.nn.softmax(logits, axis=-1)
             labels = jax.vmap(
@@ -111,6 +118,32 @@ class StreamingInferenceEngine:
         x = jnp.asarray(padded, jnp.float32)[None, ..., None]
         self._state, labels, probs = self._step(self._state, x)
         return np.asarray(labels[0, :h, :w]), np.asarray(probs[0, :h, :w])
+
+
+class _Prefetcher:
+    """Background TIFF decode: overlap host io with device compute."""
+
+    _END = object()
+
+    def __init__(self, iterable, depth: int = 4):
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._t = threading.Thread(target=self._loop, args=(iterable,),
+                                   daemon=True)
+        self._t.start()
+
+    def _loop(self, iterable):
+        try:
+            for item in iterable:
+                self._q.put(item)
+        finally:
+            self._q.put(self._END)
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is self._END:
+                return
+            yield item
 
 
 class _AsyncWriter:
@@ -158,10 +191,11 @@ def run_inference_batched(ip: CTCInferenceParams, sequence_paths, output_paths,
         params, cfg = load_model(ip.model_path, dtype=ip.dtype)
     engine = StreamingInferenceEngine(params, cfg, ip)
     readers = [
-        CTCInferenceReader(sp, ip.filename_format, ip.pre_sequence_frames)
+        CTCInferenceReader(sp, ip.filename_format, ip.pre_sequence_frames,
+                           normalize=False)
         for sp in sequence_paths
     ]
-    iters = [iter(r) for r in readers]
+    iters = [iter(_Prefetcher(r, depth=2)) for r in readers]
     writer = _AsyncWriter()
     fmt = "mask%04d.tif" if ip.digit_4 else "mask%03d.tif"
     n = 0
@@ -211,13 +245,15 @@ def run_inference(ip: CTCInferenceParams) -> int:
     """
     params, cfg = load_model(ip.model_path, dtype=ip.dtype)
     engine = StreamingInferenceEngine(params, cfg, ip)
+    # raw frames: normalization runs on device inside the jitted step;
+    # decode happens on a prefetch thread, overlapped with device compute
     reader = CTCInferenceReader(ip.sequence_path, ip.filename_format,
-                                ip.pre_sequence_frames)
+                                ip.pre_sequence_frames, normalize=False)
     writer = _AsyncWriter()
     fmt = "mask%04d.tif" if ip.digit_4 else "mask%03d.tif"
     n = 0
     try:
-        for idx, frame in reader:
+        for idx, frame in _Prefetcher(reader):
             labels, probs = engine.process_frame(frame)
             if idx is None:  # warm-up frame: state kept, output discarded
                 continue

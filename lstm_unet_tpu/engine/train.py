@@ -203,8 +203,12 @@ class Trainer:
                 img, seg, valid, full_seg, is_last = batch
 
                 if p.profile and not p.dry_run and it == 10:
-                    jax.profiler.start_trace(p.experiment_log_dir)
-                    profiling = True
+                    try:  # profiler is best-effort (tunneled TPU backends
+                        # may not support trace collection)
+                        jax.profiler.start_trace(p.experiment_log_dir)
+                        profiling = True
+                    except Exception as e:
+                        log_print(f"profiler unavailable: {e}")
                 (self.model_params, self.opt_state, lstm_state, metrics
                  ) = self.step_fn(self.model_params, self.opt_state,
                                   lstm_state, img, seg, valid, full_seg, is_last)

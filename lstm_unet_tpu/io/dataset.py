@@ -269,12 +269,15 @@ class CTCInferenceReader:
     """
 
     def __init__(self, sequence_path: str, filename_format: str = "t*.tif",
-                 pre_sequence_frames: int = 0):
+                 pre_sequence_frames: int = 0, normalize: bool = True):
         self.paths = sorted(glob.glob(os.path.join(sequence_path, filename_format)))
         if not self.paths:
             raise FileNotFoundError(
                 f"no frames matching {filename_format} under {sequence_path}")
         self.pre = min(pre_sequence_frames, len(self.paths))
+        # normalize=False leaves frames raw float32 for on-device
+        # normalization inside the streaming engine's jitted step
+        self.normalize = normalize
 
     def __len__(self) -> int:
         return len(self.paths)
@@ -286,9 +289,15 @@ class CTCInferenceReader:
             out.append(idx if idx is not None else len(out))
         return out
 
+    def _load(self, path: str) -> np.ndarray:
+        img = read_tiff(path)
+        if self.normalize:
+            return percentile_normalize_np(img)
+        return img.astype(np.float32)
+
     def __iter__(self):
         idxs = self.frame_indices()
         for p in reversed(self.paths[: self.pre]):
-            yield None, percentile_normalize_np(read_tiff(p))
+            yield None, self._load(p)
         for p, idx in zip(self.paths, idxs):
-            yield idx, percentile_normalize_np(read_tiff(p))
+            yield idx, self._load(p)

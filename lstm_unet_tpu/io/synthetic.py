@@ -54,7 +54,9 @@ def make_cell_sequence(
 
 def write_ctc_dataset(
     root: str,
-    dataset: str = "Synth-N2DH",
+    # "SIM" in the name marks the GT as fully annotated for the reader's
+    # full_seg auto-heuristic — synthetic GT covers every cell
+    dataset: str = "Synth-N2DH-SIM",
     seq: str = "01",
     annotate_every: int = 1,
     **kwargs,

@@ -29,15 +29,20 @@ def init_conv(rng: jax.Array, kh: int, kw: int, cin: int, cout: int,
 
 def conv2d(x: jax.Array, kernel: jax.Array, bias: Optional[jax.Array] = None,
            stride: Tuple[int, int] = (1, 1), padding: str = "SAME") -> jax.Array:
-    """NHWC conv; accumulates in f32 on the MXU regardless of input dtype."""
+    """NHWC conv in the input dtype.
+
+    The TPU MXU accumulates bf16 products in f32 internally, so bf16 in/out
+    keeps f32 accumulation without forcing an f32 output. (Forcing
+    ``preferred_element_type=f32`` also breaks the bf16 backward pass: the
+    conv transpose then pairs an f32 cotangent with bf16 operands.)
+    """
     y = jax.lax.conv_general_dilated(
         x, kernel.astype(x.dtype), stride, padding,
         dimension_numbers=_DIMNUMS,
-        preferred_element_type=jnp.float32,
     )
     if bias is not None:
         y = y + bias.astype(y.dtype)
-    return y.astype(x.dtype)
+    return y
 
 
 def activate(x: jax.Array, kind: str) -> jax.Array:

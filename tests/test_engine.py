@@ -34,8 +34,8 @@ def synth_root(tmp_path_factory):
 def _params(root, tmp, **kw):
     defaults = dict(
         root_data_dir=root,
-        train_sequence_list=[("Synth-N2DH", "01")],
-        val_sequence_list=[("Synth-N2DH", "01")],
+        train_sequence_list=[("Synth-N2DH-SIM", "01")],
+        val_sequence_list=[("Synth-N2DH-SIM", "01")],
         crop_size=(32, 32),
         batch_size=2,
         unroll_len=3,
@@ -77,7 +77,7 @@ def test_train_loss_decreases_and_ckpt_roundtrip(synth_root, tmp_path):
     assert os.path.exists(os.path.join(save_dir, "model_params.json"))
 
     # --- inference from the checkpoint produces CTC-format masks ---
-    seq_dir = os.path.join(synth_root, "Synth-N2DH", "01")
+    seq_dir = os.path.join(synth_root, "Synth-N2DH-SIM", "01")
     out_dir = str(tmp_path / "res")
     ip = CTCInferenceParams(
         model_path=save_dir,
@@ -159,12 +159,22 @@ def test_full_seg_partial_frames_train_on_labeled_pixels_only():
 def test_reader_emits_full_seg_and_elastic(synth_root, tmp_path):
     from lstm_unet_tpu.io.dataset import CTCRAMReaderSequence2D
 
-    p = _params(synth_root, tmp_path, elastic_augmentation=True, dry_run=True)
+    # force the partial-annotation path (the synthetic "SIM" dataset would
+    # otherwise auto-flag as fully annotated)
+    p = _params(synth_root, tmp_path, elastic_augmentation=True, dry_run=True,
+                gt_is_full_seg=False)
     reader = CTCRAMReaderSequence2D(p, num_threads=1)
     reader.start_queues()
     img, seg, valid, full_seg, is_last = reader.get_batch()
     reader.stop()
     assert full_seg.shape == valid.shape
-    # synthetic dataset name contains no "SIM" and uses _GT -> partial by auto
-    assert np.all(full_seg <= valid)
+    assert np.all(full_seg == 0) and np.any(valid > 0)
     assert sorted(np.unique(seg).tolist()) <= [0, 1, 2]
+
+    # default heuristic: "SIM" in the dataset name -> fully annotated
+    p2 = _params(synth_root, tmp_path, dry_run=True)
+    reader2 = CTCRAMReaderSequence2D(p2, num_threads=1)
+    reader2.start_queues()
+    _, _, valid2, full2, _ = reader2.get_batch()
+    reader2.stop()
+    np.testing.assert_array_equal(full2, valid2)

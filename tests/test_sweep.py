@@ -19,14 +19,14 @@ from lstm_unet_tpu.io.tiff import read_tiff
 def trained(tmp_path_factory):
     """Train a tiny model briefly over two synthetic sequences."""
     root = str(tmp_path_factory.mktemp("ctc"))
-    write_ctc_dataset(root, dataset="Synth-N2DH", seq="01", num_frames=8,
+    write_ctc_dataset(root, dataset="Synth-N2DH-SIM", seq="01", num_frames=8,
                       height=32, width=32, num_cells=3, seed=1)
-    write_ctc_dataset(root, dataset="Synth-N2DH", seq="02", num_frames=6,
+    write_ctc_dataset(root, dataset="Synth-N2DH-SIM", seq="02", num_frames=6,
                       height=32, width=32, num_cells=2, seed=2)
     save = str(tmp_path_factory.mktemp("runs"))
     p = CTCParams(
         root_data_dir=root,
-        train_sequence_list=[("Synth-N2DH", "01"), ("Synth-N2DH", "02")],
+        train_sequence_list=[("Synth-N2DH-SIM", "01"), ("Synth-N2DH-SIM", "02")],
         crop_size=(32, 32), batch_size=2, unroll_len=3,
         net_kernel_params=tiny_net_kernel_params(), learning_rate=3e-3,
         root_save_dir=save, print_to_console_interval=50,
@@ -41,8 +41,8 @@ def test_batched_matches_single_sequence(trained, tmp_path):
     """Batched lanes must produce the same masks as one-at-a-time streaming
     (per-lane LSTM state independence)."""
     root, ckpt = trained
-    seqs = [os.path.join(root, "Synth-N2DH", "01"),
-            os.path.join(root, "Synth-N2DH", "02")]
+    seqs = [os.path.join(root, "Synth-N2DH-SIM", "01"),
+            os.path.join(root, "Synth-N2DH-SIM", "02")]
     ip = CTCInferenceParams(model_path=ckpt, min_cell_size=5,
                             pre_sequence_frames=1, dtype="float32")
 
@@ -71,8 +71,8 @@ def test_ctc_sweep_cli(trained, tmp_path):
     main(["--model_path", ckpt, "--root_data_dir", root,
           "--output_root", out, "--min_cell_size", "5",
           "--pre_sequence_frames", "1", "--dtype", "float32"])
-    res01 = glob.glob(os.path.join(out, "Synth-N2DH", "01_RES", "mask*.tif"))
-    res02 = glob.glob(os.path.join(out, "Synth-N2DH", "02_RES", "mask*.tif"))
+    res01 = glob.glob(os.path.join(out, "Synth-N2DH-SIM", "01_RES", "mask*.tif"))
+    res02 = glob.glob(os.path.join(out, "Synth-N2DH-SIM", "02_RES", "mask*.tif"))
     assert len(res01) == 8 and len(res02) == 6
     assert read_tiff(res01[0]).dtype == np.uint16
 
@@ -80,7 +80,7 @@ def test_ctc_sweep_cli(trained, tmp_path):
 def test_inference_deterministic(trained, tmp_path):
     """Golden invariant: identical inputs → bit-identical masks."""
     root, ckpt = trained
-    seq = os.path.join(root, "Synth-N2DH", "01")
+    seq = os.path.join(root, "Synth-N2DH-SIM", "01")
     outs = []
     for run in range(2):
         ip = CTCInferenceParams(
