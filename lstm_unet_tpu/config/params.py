@@ -249,7 +249,10 @@ class CTCParams(ParamsBase):
 
     # parallel (new in the rebuild; no reference analog — SURVEY.md §2 checklist)
     mesh_shape: Dict[str, int] = field(default_factory=lambda: {"data": 1})
-    remat: bool = False  # jax.checkpoint the scan body to trade FLOPs for HBM
+    # jax.checkpoint the scan body during BPTT: without it the flagship at
+    # B5/T7/256^2 does not fit v5e HBM (compile fails); with it, 1.44 s/step
+    # (~54% MXU) — see BASELINE.md
+    remat: bool = True
 
 
 # --------------------------------------------------------------------------

@@ -106,6 +106,7 @@ class Trainer:
             num_classes=params.num_classes,
             activation=params.activation,
             recurrent_activation=params.recurrent_activation,
+            norm=params.norm,
             dtype=params.dtype,
         )
         self.mesh = make_mesh(params.mesh_shape) if params.mesh_shape else None

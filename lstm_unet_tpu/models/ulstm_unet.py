@@ -53,6 +53,10 @@ class ModelConfig:
     activation: str = "leaky_relu"
     recurrent_activation: str = "sigmoid"
     upsample: str = "nearest"
+    # Optional per-conv LayerNorm (over channels, learnable scale/bias).
+    # The reference's use of BatchNorm is unverified [M — SURVEY.md §7
+    # hard-part #4]; LayerNorm is the batch-size/sharding-independent choice.
+    norm: str = "none"
     # Measured on v5e (BASELINE.md): XLA fuses the gate activations/state
     # update into the gate-conv epilogue; routing them through the Pallas
     # kernel instead inserts a fusion barrier that materializes the 4F gate
@@ -78,6 +82,29 @@ class ModelConfig:
         return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[self.dtype]
 
 
+def _maybe_add_norm(conv_params: Dict[str, jax.Array], filters: int,
+                    cfg: "ModelConfig") -> Dict[str, jax.Array]:
+    if cfg.norm == "layernorm":
+        conv_params["ln_scale"] = jnp.ones((filters,), jnp.float32)
+        conv_params["ln_bias"] = jnp.zeros((filters,), jnp.float32)
+    elif cfg.norm != "none":
+        raise ValueError(f"unknown norm {cfg.norm!r}")
+    return conv_params
+
+
+def _conv_block(x: jax.Array, conv: Dict[str, jax.Array],
+                cfg: "ModelConfig") -> jax.Array:
+    """conv → optional channel LayerNorm → activation."""
+    x = conv2d(x, conv["kernel"], conv["bias"])
+    if "ln_scale" in conv:
+        x32 = x.astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.var(x32, axis=-1, keepdims=True)
+        x = ((x32 - mu) * jax.lax.rsqrt(var + 1e-6) * conv["ln_scale"]
+             + conv["ln_bias"]).astype(x.dtype)
+    return activate(x, cfg.activation)
+
+
 class ULSTMnet2D:
     """Functional model: ``params`` and ``state`` are explicit pytrees."""
 
@@ -98,7 +125,7 @@ class ULSTMnet2D:
                 cin = f
             for (k, f) in nkp.down_conv_kernels[lvl]:
                 rng, sub = jax.random.split(rng)
-                level["convs"].append(init_conv(sub, k, k, cin, f))
+                level["convs"].append(_maybe_add_norm(init_conv(sub, k, k, cin, f), f, cfg))
                 cin = f
             skip_channels.append(cin)
             params["encoder"].append(level)
@@ -111,7 +138,7 @@ class ULSTMnet2D:
             c = dec_cin + skip_channels[lvl]  # upsampled + skip concat
             for (k, f) in nkp.up_conv_kernels[lvl]:
                 rng, sub = jax.random.split(rng)
-                level["convs"].append(init_conv(sub, k, k, c, f))
+                level["convs"].append(_maybe_add_norm(init_conv(sub, k, k, c, f), f, cfg))
                 c = f
             dec_cin = c
             params["decoder"].insert(0, level)
@@ -169,7 +196,7 @@ class ULSTMnet2D:
                     use_pallas=cfg.use_pallas)
                 lvl_state.append(carry)
             for conv in level["convs"]:
-                x = activate(conv2d(x, conv["kernel"], conv["bias"]), cfg.activation)
+                x = _conv_block(x, conv, cfg)
             skips.append(x)
             new_state.append(lvl_state)
             x = max_pool_2x2(x)
@@ -178,7 +205,7 @@ class ULSTMnet2D:
             x = upsample_2x(x, cfg.upsample)
             x = jnp.concatenate([x, skips[lvl]], axis=-1)
             for conv in params["decoder"][lvl]["convs"]:
-                x = activate(conv2d(x, conv["kernel"], conv["bias"]), cfg.activation)
+                x = _conv_block(x, conv, cfg)
 
         logits = conv2d(x, params["head"]["kernel"], params["head"]["bias"])
         return new_state, logits.astype(jnp.float32)

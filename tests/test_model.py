@@ -117,3 +117,18 @@ def test_pallas_and_xla_paths_agree():
     _, a = ULSTMnet2D.apply(params, s, x, cfg_p)
     _, b = ULSTMnet2D.apply(params, s, x, cfg_x)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_layernorm_option():
+    cfg = ModelConfig.make(tiny_net_kernel_params(), norm="layernorm")
+    params = ULSTMnet2D.init(jax.random.PRNGKey(0), cfg)
+    assert "ln_scale" in params["encoder"][0]["convs"][0]
+    B, T, H, W = 1, 2, 16, 16
+    state = ULSTMnet2D.init_state(cfg, B, H, W)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, H, W, 1))
+    _, logits = ULSTMnet2D.apply(params, state, x, cfg)
+    assert logits.shape == (B, T, H, W, 3)
+    assert np.all(np.isfinite(np.asarray(logits)))
+    with pytest.raises(ValueError):
+        ULSTMnet2D.init(jax.random.PRNGKey(0),
+                        ModelConfig.make(tiny_net_kernel_params(), norm="batch"))
