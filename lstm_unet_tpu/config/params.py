@@ -279,3 +279,6 @@ class CTCInferenceParams(ParamsBase):
     save_intermediate_path: str = ""
     dtype: str = "bfloat16"
     digit_4: bool = False          # True → mask%04d.tif (long sequences, e.g. PSC)
+    # multi-chip streaming (no reference analog): 'data' shards batched
+    # sequences, 'spatial' shards frame height (XLA inserts conv halos)
+    mesh_shape: Dict[str, int] = field(default_factory=dict)

@@ -56,7 +56,13 @@ def load_model(model_path: str, dtype: Optional[str] = None
 
 
 class StreamingInferenceEngine:
-    """Stateful O(1)-memory streaming over arbitrarily long sequences."""
+    """Stateful O(1)-memory streaming over arbitrarily long sequences.
+
+    With ``ip.mesh_shape`` set (e.g. {'data': 2, 'spatial': 4}) the stream
+    runs SPMD: batched sequences shard over 'data', frame height over
+    'spatial' (XLA SPMD inserts the conv halo exchanges over ICI). The
+    LSTM state inherits the same sharding and never leaves its shard.
+    """
 
     def __init__(self, params, cfg: ModelConfig, ip: CTCInferenceParams):
         self.params = params
@@ -66,6 +72,19 @@ class StreamingInferenceEngine:
         self._step = None
         self._state = None
         self._shape = None
+        self.mesh = None
+        if getattr(ip, "mesh_shape", None):
+            from ..parallel import make_mesh
+
+            self.mesh = make_mesh(ip.mesh_shape)
+
+    def _shard(self, tree, spec):
+        if self.mesh is None:
+            return tree
+        from jax.sharding import NamedSharding
+
+        sh = NamedSharding(self.mesh, spec)
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
     def _build(self, h: int, w: int, batch: int = 1):
         ip = self.ip
@@ -95,9 +114,23 @@ class StreamingInferenceEngine:
             )(probs)
             return new_state, labels, probs
 
-        self._params_dev = jax.device_put(self.params)
-        self._step = lambda state, frame: step(self._params_dev, state, frame)
-        self._state = ULSTMnet2D.init_state(self.cfg, batch, h, w)
+        if self.mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            params_dev = self._shard(self.params, P())
+            state = self._shard(
+                ULSTMnet2D.init_state(self.cfg, batch, h, w),
+                P("data", "spatial") if "data" in self.mesh.axis_names else P(None, "spatial"))
+            self._frame_spec = (P("data", "spatial")
+                                if "data" in self.mesh.axis_names
+                                else P(None, "spatial"))
+        else:
+            params_dev = jax.device_put(self.params)
+            state = ULSTMnet2D.init_state(self.cfg, batch, h, w)
+            self._frame_spec = None
+        self._params_dev = params_dev
+        self._step = lambda s, frame: step(self._params_dev, s, frame)
+        self._state = state
         self._shape = (batch, h, w)
 
     def reset(self):
@@ -116,6 +149,8 @@ class StreamingInferenceEngine:
         if self._state is None:
             self._build(*padded.shape)
         x = jnp.asarray(padded, jnp.float32)[None, ..., None]
+        if self._frame_spec is not None:
+            x = self._shard(x, self._frame_spec)
         self._state, labels, probs = self._step(self._state, x)
         return np.asarray(labels[0, :h, :w]), np.asarray(probs[0, :h, :w])
 
@@ -213,6 +248,8 @@ def run_inference_batched(ip: CTCInferenceParams, sequence_paths, output_paths,
             if frames.shape[1:] != padded0.shape:
                 raise ValueError("batched inference requires equal frame shapes")
             x = jnp.asarray(frames, jnp.float32)[..., None]
+            if engine._frame_spec is not None:
+                x = engine._shard(x, engine._frame_spec)
             engine._state, labels, probs = engine._step(engine._state, x)
             labels_np = None
             for lane in range(b):

@@ -91,3 +91,29 @@ def test_inference_deterministic(trained, tmp_path):
         outs.append(sorted(glob.glob(str(tmp_path / f"d{run}" / "mask*.tif"))))
     for a, b in zip(*outs):
         np.testing.assert_array_equal(read_tiff(a), read_tiff(b))
+
+
+def test_spatially_sharded_streaming_matches_unsharded(trained, tmp_path):
+    """mesh_shape={'data':2,'spatial':2} streaming == unsharded streaming
+    (SPMD conv halos + sharded LSTM state preserve numerics)."""
+    root, ckpt = trained
+    seqs = [os.path.join(root, "Synth-N2DH-SIM", "01"),
+            os.path.join(root, "Synth-N2DH-SIM", "02")]
+
+    ip_ref = CTCInferenceParams(model_path=ckpt, min_cell_size=5,
+                                pre_sequence_frames=1, dtype="float32")
+    outs_ref = [str(tmp_path / "r0"), str(tmp_path / "r1")]
+    run_inference_batched(ip_ref, seqs, outs_ref)
+
+    ip_sh = CTCInferenceParams(model_path=ckpt, min_cell_size=5,
+                               pre_sequence_frames=1, dtype="float32",
+                               mesh_shape={"data": 2, "spatial": 2})
+    outs_sh = [str(tmp_path / "m0"), str(tmp_path / "m1")]
+    run_inference_batched(ip_sh, seqs, outs_sh)
+
+    for ref_dir, sh_dir in zip(outs_ref, outs_sh):
+        refs = sorted(glob.glob(os.path.join(ref_dir, "mask*.tif")))
+        assert refs
+        for r in refs:
+            s = os.path.join(sh_dir, os.path.basename(r))
+            np.testing.assert_array_equal(read_tiff(r), read_tiff(s))
