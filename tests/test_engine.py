@@ -178,3 +178,15 @@ def test_reader_emits_full_seg_and_elastic(synth_root, tmp_path):
     _, _, valid2, full2, _ = reader2.get_batch()
     reader2.stop()
     np.testing.assert_array_equal(full2, valid2)
+
+
+def test_inference_digit4_naming(synth_root, tmp_path):
+    p = _params(synth_root, tmp_path)
+    t = Trainer(p, seed=0)
+    t.train(num_iterations=2)
+    ip = CTCInferenceParams(
+        model_path=p.experiment_save_dir,
+        sequence_path=os.path.join(synth_root, "Synth-N2DH-SIM", "01"),
+        output_path=str(tmp_path / "d4"), dtype="float32", digit_4=True)
+    run_inference(ip)
+    assert os.path.exists(str(tmp_path / "d4" / "mask0000.tif"))

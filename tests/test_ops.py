@@ -201,3 +201,21 @@ def test_pallas_ccl_matches_xla(monkeypatch, rng):
     a = np.asarray(connected_components_pallas(jnp.asarray(mask)))
     b = np.asarray(connected_components(jnp.asarray(mask), connectivity=8))
     np.testing.assert_array_equal(a, b)
+
+
+def test_postprocess_fov_rule():
+    """Instances entirely inside the FOV border band are dropped; instances
+    touching the interior survive (Inference2D FOV handling [M])."""
+    h = w = 32
+    probs = np.zeros((h, w, 3), np.float32)
+    probs[2:5, 2:5, 1] = 1.0      # fully inside a 6-px border band
+    probs[10:20, 10:20, 1] = 1.0  # interior instance
+    probs[..., 0] = 1.0 - probs[..., 1]
+    lab_no_fov = np.asarray(postprocess_frame(
+        jnp.asarray(probs), min_cell_size=2, grow_iters=0, fov=0))
+    assert lab_no_fov.max() == 2
+    lab_fov = np.asarray(postprocess_frame(
+        jnp.asarray(probs), min_cell_size=2, grow_iters=0, fov=6))
+    assert lab_fov.max() == 1
+    assert lab_fov[3, 3] == 0
+    assert lab_fov[15, 15] == 1
