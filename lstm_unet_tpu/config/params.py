@@ -216,7 +216,9 @@ class CTCParams(ParamsBase):
     batch_size: int = 5       # reference ≈5 [M]
     unroll_len: int = 7       # reference ≈7 [M]
     data_format: str = "NHWC"  # TPU-native layout (reference offered NCHW/NHWC [M])
-    num_prefetch_threads: int = 2
+    # one producer thread: the trainer carries LSTM state across consecutive
+    # batches, so the batch stream must be a single ordered lane set
+    num_prefetch_threads: int = 1
     elastic_augmentation: bool = False
     randomize: bool = True
     # None = auto: _ST silver truth and "SIM" datasets are fully annotated,

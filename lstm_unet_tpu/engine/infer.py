@@ -89,6 +89,8 @@ class StreamingInferenceEngine:
     def _build(self, h: int, w: int, batch: int = 1):
         ip = self.ip
 
+        from ..io.preprocess import percentile_normalize
+
         # params is an explicit jit argument (closed-over arrays would be
         # inlined into the HLO as constants — huge programs, slow compiles)
         @functools.partial(jax.jit, donate_argnums=(1,))
@@ -96,10 +98,7 @@ class StreamingInferenceEngine:
             # percentile normalization on device: the reference normalizes
             # per frame on the host (SURVEY.md §2 "Inference reader") which
             # on a thin host would bottleneck the streaming loop
-            flat = frame.reshape(frame.shape[0], -1)
-            lo = jnp.percentile(flat, 1.0, axis=1)[:, None, None, None]
-            hi = jnp.percentile(flat, 99.0, axis=1)[:, None, None, None]
-            frame = (frame - lo) / jnp.maximum(hi - lo, 1e-6)
+            frame = jax.vmap(percentile_normalize)(frame)
             new_state, logits = ULSTMnet2D.step(params, state, frame, self.cfg)
             probs = jax.nn.softmax(logits, axis=-1)
             labels = jax.vmap(
@@ -112,18 +111,24 @@ class StreamingInferenceEngine:
                     fov=ip.FOV,
                 )
             )(probs)
+            if not ip.save_intermediate:
+                # don't ship the [B,H,W,3] float probs to the host each frame
+                # — only the int32 label map crosses (module contract)
+                probs = jnp.zeros((0,), jnp.float32)
             return new_state, labels, probs
 
         if self.mesh is not None:
             from jax.sharding import PartitionSpec as P
 
+            # build the [B, H, ...] spec from the axes the mesh actually has
+            # (supports {'data': N}, {'spatial': M}, or both)
+            names = self.mesh.axis_names
+            spec = P("data" if "data" in names else None,
+                     "spatial" if "spatial" in names else None)
             params_dev = self._shard(self.params, P())
             state = self._shard(
-                ULSTMnet2D.init_state(self.cfg, batch, h, w),
-                P("data", "spatial") if "data" in self.mesh.axis_names else P(None, "spatial"))
-            self._frame_spec = (P("data", "spatial")
-                                if "data" in self.mesh.axis_names
-                                else P(None, "spatial"))
+                ULSTMnet2D.init_state(self.cfg, batch, h, w), spec)
+            self._frame_spec = spec
         else:
             params_dev = jax.device_put(self.params)
             state = ULSTMnet2D.init_state(self.cfg, batch, h, w)
@@ -138,21 +143,23 @@ class StreamingInferenceEngine:
         self._shape = None
 
     def process_frame(self, frame: np.ndarray):
-        """One frame [H,W] float32 → (labels [H,W] int32, probs [H,W,3]).
+        """One frame [H,W] float32 → (labels [H,W] int32, probs [H,W,3]|None).
 
-        Pads to 2^depth internally and crops the outputs back.
+        Pads to 2^depth internally and crops the outputs back. ``probs`` is
+        None unless ``ip.save_intermediate`` — the hot loop only ships the
+        int32 label map to the host.
         """
         h, w = frame.shape
         padded, (ph, pw) = pad_to_multiple(frame, self.depth_multiple)
         if self._shape != (1,) + padded.shape:
             self._build(*padded.shape)
-        if self._state is None:
-            self._build(*padded.shape)
         x = jnp.asarray(padded, jnp.float32)[None, ..., None]
         if self._frame_spec is not None:
             x = self._shard(x, self._frame_spec)
         self._state, labels, probs = self._step(self._state, x)
-        return np.asarray(labels[0, :h, :w]), np.asarray(probs[0, :h, :w])
+        probs_out = (np.asarray(probs[0, :h, :w])
+                     if self.ip.save_intermediate else None)
+        return np.asarray(labels[0, :h, :w]), probs_out
 
 
 class _Prefetcher:
@@ -238,15 +245,21 @@ def run_inference_batched(ip: CTCInferenceParams, sequence_paths, output_paths,
 
     cur = [next(it) for it in iters]  # (idx, frame) per lane
     done = [False] * b
-    h, w = cur[0][1].shape
+    raw_shapes = [f.shape for _, f in cur]  # per-lane crop-back shapes
+    if len(set(raw_shapes)) != 1:
+        raise ValueError(
+            f"batched inference requires equal frame shapes, got {raw_shapes}")
     padded0, _ = pad_to_multiple(cur[0][1], engine.depth_multiple)
     engine._build(*padded0.shape, batch=b)
     try:
         while not all(done):
+            for lane, (_, f) in enumerate(cur):
+                if f.shape != raw_shapes[lane]:
+                    raise ValueError(
+                        f"lane {lane} frame shape changed mid-sequence: "
+                        f"{raw_shapes[lane]} -> {f.shape}")
             frames = np.stack([
                 pad_to_multiple(f, engine.depth_multiple)[0] for _, f in cur])
-            if frames.shape[1:] != padded0.shape:
-                raise ValueError("batched inference requires equal frame shapes")
             x = jnp.asarray(frames, jnp.float32)[..., None]
             if engine._frame_spec is not None:
                 x = engine._shard(x, engine._frame_spec)
@@ -257,6 +270,9 @@ def run_inference_batched(ip: CTCInferenceParams, sequence_paths, output_paths,
                 if idx is not None and not done[lane]:
                     if labels_np is None:
                         labels_np = np.asarray(labels)
+                        if labels_np.max() > np.iinfo(np.uint16).max:
+                            raise ValueError("instance count exceeds uint16")
+                    h, w = raw_shapes[lane]
                     writer.put(os.path.join(output_paths[lane], fmt % idx),
                                labels_np[lane, :h, :w].astype(np.uint16))
                     n += 1

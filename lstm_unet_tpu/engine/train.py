@@ -194,6 +194,7 @@ class Trainer:
         lstm_state = self._fresh_state()
         val_state = self._fresh_state() if self.val_reader else None
         last: Dict[str, float] = {}
+        metrics: Dict[str, Any] = {}
         t0 = time.time()
         frames_done = 0
 
@@ -213,7 +214,7 @@ class Trainer:
                 (self.model_params, self.opt_state, lstm_state, metrics
                  ) = self.step_fn(self.model_params, self.opt_state,
                                   lstm_state, img, seg, valid, full_seg, is_last)
-                if profiling and it == 15:
+                if profiling and it >= 15:
                     jax.tree_util.tree_map(
                         lambda x: x.block_until_ready(), metrics)
                     jax.profiler.stop_trace()
@@ -265,6 +266,11 @@ class Trainer:
                 if self.ckpt and (it + 1) % p.save_checkpoint_iteration == 0:
                     self.ckpt.save(self.global_step, self.model_params, self.opt_state)
         finally:
+            if profiling:  # stop leaked traces (short runs / exceptions)
+                try:
+                    jax.profiler.stop_trace()
+                except Exception:
+                    pass
             self.reader.stop()
             if self.val_reader:
                 self.val_reader.stop()
@@ -273,6 +279,6 @@ class Trainer:
                 self.ckpt.wait()
             if self.tb:
                 self.tb.close()
-        if not last:
+        if not last and metrics:
             last = {k: float(v) for k, v in metrics.items()}
         return last

@@ -103,6 +103,15 @@ class CTCRAMReaderSequence2D:
         full_seg [B,T]    float32 (frame fully annotated; partial frames train
                           only on labeled pixels — see engine/loss.py),
         is_last [B]       float32 (window ends its sequence → reset LSTM lane)
+
+    NOTE on threading: the consumer carries LSTM state from batch N into
+    batch N+1, so consecutive batches MUST come from one producer's lane
+    streams — multiple independent producers interleaving on the queue would
+    silently break streaming-BPTT continuity (state from thread A applied to
+    thread B's windows). The producer is therefore always a single thread;
+    ``num_threads`` > 1 is clamped with a warning. (If multi-producer
+    prefetch is ever needed, batches must carry a stream id and the trainer
+    must keep per-stream state.)
     """
 
     def __init__(self, params: CTCParams, sequence_list: Optional[Sequence] = None,
@@ -119,7 +128,11 @@ class CTCRAMReaderSequence2D:
             for ds, sq in seq_list
         ]
         self.elastic = params.elastic_augmentation
-        self.num_threads = num_threads if num_threads is not None else params.num_prefetch_threads
+        requested = num_threads if num_threads is not None else params.num_prefetch_threads
+        if requested != 1:
+            log_print("CTCRAMReaderSequence2D: clamping producer threads to 1 "
+                      "(BPTT state continuity requires a single batch stream)")
+        self.num_threads = 1
         self._q: queue.Queue = queue.Queue(maxsize=queue_capacity)
         self._stop = threading.Event()
         self._threads: List[threading.Thread] = []

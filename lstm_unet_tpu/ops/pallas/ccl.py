@@ -75,11 +75,14 @@ def _ccl_kernel(sweeps_per_check: int, mask_ref, out_ref):
 
 @functools.partial(jax.jit, static_argnames=("sweeps_per_check",))
 def connected_components_pallas(mask: jax.Array,
-                                sweeps_per_check: int = 8) -> jax.Array:
+                                sweeps_per_check: int = 4) -> jax.Array:
     """Label a binary [H,W] mask on-device; 0 = background.
 
     Produces exactly the labels of ops.ccl.connected_components (8-conn,
     component-min seeds). Dispatches to the XLA twin off-TPU.
+    ``sweeps_per_check=4`` matches the XLA twin's loop body exactly, so both
+    kernels emit identical labels even on adversarial masks whose geodesic
+    diameter exceeds the h+w iteration bound (both stop at the same sweep).
     """
     if jax.default_backend() != "tpu" and not _lg.FORCE_INTERPRET:
         from ..ccl import connected_components
