@@ -50,6 +50,9 @@ def main(argv=None) -> None:
     ap.add_argument("--pre_sequence_frames", type=int, default=4)
     ap.add_argument("--dtype", type=str, default="bfloat16")
     ap.add_argument("--max_batch", type=int, default=4)
+    ap.add_argument("--score_seg", action="store_true",
+                    help="after the sweep, score SEG against <seq>_GT/SEG "
+                         "ground truth where present")
     args = ap.parse_args(argv)
 
     ip = CTCInferenceParams(
@@ -66,6 +69,7 @@ def main(argv=None) -> None:
         groups[shape].append((seq_dir, out_dir))
 
     total = 0
+    pairs = []
     for shape, items in groups.items():
         log_print(f"sweep: {len(items)} sequence(s) at {shape}")
         for i in range(0, len(items), args.max_batch):
@@ -73,7 +77,36 @@ def main(argv=None) -> None:
             total += run_inference_batched(
                 ip, [s for s, _ in chunk], [o for _, o in chunk],
                 params=params, cfg=cfg)
+            pairs.extend(chunk)
     log_print(f"sweep complete: {total} masks")
+
+    if args.score_seg:
+        from ..metrics import seg_measure_sequence
+
+        for seq_dir, out_dir in pairs:
+            gt_dir = seq_dir + "_GT/SEG"
+            gts = sorted(glob.glob(os.path.join(gt_dir, "man_seg*.tif")))
+            if not gts:
+                continue
+            # align masks to the GT frame indices (GT may be sparse)
+            import re
+
+            scores_gt, scores_pred = [], []
+            for g in gts:
+                m = re.search(r"man_seg(\d+)\.tif$", g)
+                if not m:
+                    continue
+                idx = int(m.group(1))
+                for fmt in ("mask%03d.tif", "mask%04d.tif"):
+                    mp = os.path.join(out_dir, fmt % idx)
+                    if os.path.exists(mp):
+                        scores_gt.append(read_tiff(g))
+                        scores_pred.append(read_tiff(mp))
+                        break
+            if scores_gt:
+                score = seg_measure_sequence(scores_gt, scores_pred)
+                log_print(f"SEG {seq_dir}: {score:.4f} "
+                          f"({len(scores_gt)} annotated frames)")
 
 
 if __name__ == "__main__":

@@ -40,6 +40,7 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--batch_size", type=int)
     ap.add_argument("--unroll_len", type=int)
     ap.add_argument("--learning_rate", type=float)
+    ap.add_argument("--grad_clip_norm", type=float)
     ap.add_argument("--num_iterations", type=int)
     ap.add_argument("--class_weights", type=float, nargs=3)
     ap.add_argument("--net_kernel_params", type=str,

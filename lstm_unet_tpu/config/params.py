@@ -235,6 +235,10 @@ class CTCParams(ParamsBase):
 
     # optimization
     learning_rate: float = 1e-5      # reference ~1e-5 [M]
+    # global-norm gradient clipping; 0 disables. BPTT through ConvLSTMs can
+    # spike (observed: stable run exploding to gnorm ~2e6 in one step on
+    # v5e) — clipping is cheap insurance the reference lacked
+    grad_clip_norm: float = 5.0
     num_iterations: int = 100000
     class_weights: Tuple[float, float, float] = (0.15, 0.25, 0.6)  # bg/interior/boundary [M]
 

@@ -113,7 +113,11 @@ class Trainer:
 
         rng = jax.random.PRNGKey(seed)
         self.model_params = ULSTMnet2D.init(rng, self.cfg)
-        self.optimizer = optax.adam(params.learning_rate)
+        opt = optax.adam(params.learning_rate)
+        if params.grad_clip_norm and params.grad_clip_norm > 0:
+            opt = optax.chain(
+                optax.clip_by_global_norm(params.grad_clip_norm), opt)
+        self.optimizer = opt
         self.opt_state = self.optimizer.init(self.model_params)
         self.step_fn = make_train_step(
             self.cfg, self.optimizer, params.class_weights, remat=params.remat)
