@@ -98,6 +98,10 @@ class Trainer:
 
     def __init__(self, params: CTCParams, seed: int = 0):
         self.p = params
+        if params.data_format != "NHWC":
+            raise ValueError(
+                "data_format='NHWC' only: NHWC is the TPU-native layout "
+                "(the reference's NCHW knob existed for cuDNN)")
         if params.experiment_save_dir is None:
             params.resolve_dirs()
         self.cfg = ModelConfig.make(
