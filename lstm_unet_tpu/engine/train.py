@@ -273,6 +273,11 @@ class Trainer:
 
                 if self.ckpt and (it + 1) % p.save_checkpoint_iteration == 0:
                     self.ckpt.save(self.global_step, self.model_params, self.opt_state)
+                    # barrier: the async-save thread reads device buffers the
+                    # train step DONATES — letting the next step run while the
+                    # save drains wedges tunneled backends (observed on axon:
+                    # training never resumed after the first periodic save)
+                    self.ckpt.wait()
         finally:
             if profiling:  # stop leaked traces (short runs / exceptions)
                 try:
