@@ -163,12 +163,17 @@ class StreamingInferenceEngine:
 
 
 class _Prefetcher:
-    """Background TIFF decode: overlap host io with device compute."""
+    """Background TIFF decode: overlap host io with device compute.
+
+    Reader exceptions (e.g. a corrupt TIFF mid-sequence) propagate to the
+    consumer instead of silently truncating the stream.
+    """
 
     _END = object()
 
     def __init__(self, iterable, depth: int = 4):
         self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._err: Optional[BaseException] = None
         self._t = threading.Thread(target=self._loop, args=(iterable,),
                                    daemon=True)
         self._t.start()
@@ -177,6 +182,8 @@ class _Prefetcher:
         try:
             for item in iterable:
                 self._q.put(item)
+        except BaseException as e:  # re-raised on the consumer side
+            self._err = e
         finally:
             self._q.put(self._END)
 
@@ -184,6 +191,8 @@ class _Prefetcher:
         while True:
             item = self._q.get()
             if item is self._END:
+                if self._err is not None:
+                    raise self._err
                 return
             yield item
 

@@ -190,3 +190,17 @@ def test_inference_digit4_naming(synth_root, tmp_path):
         output_path=str(tmp_path / "d4"), dtype="float32", digit_4=True)
     run_inference(ip)
     assert os.path.exists(str(tmp_path / "d4" / "mask0000.tif"))
+
+
+def test_prefetcher_propagates_reader_errors():
+    from lstm_unet_tpu.engine.infer import _Prefetcher
+
+    def bad_iter():
+        yield 1
+        raise RuntimeError("corrupt frame")
+
+    pf = _Prefetcher(bad_iter())
+    it = iter(pf)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="corrupt frame"):
+        next(it)
