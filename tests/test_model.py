@@ -132,3 +132,21 @@ def test_layernorm_option():
     with pytest.raises(ValueError):
         ULSTMnet2D.init(jax.random.PRNGKey(0),
                         ModelConfig.make(tiny_net_kernel_params(), norm="batch"))
+
+
+def test_multiple_lstm_layers_per_level():
+    """net_kernel_params allows stacked ConvLSTMs within one encoder level."""
+    nkp = NetKernelParams(
+        lstm_kernels=[[(3, 4), (3, 6)], [(3, 8)]],
+        down_conv_kernels=[[(3, 8)], [(3, 8)]],
+        up_conv_kernels=[[(3, 8)], [(3, 8)]],
+    )
+    cfg = ModelConfig.make(nkp)
+    params = ULSTMnet2D.init(jax.random.PRNGKey(0), cfg)
+    assert len(params["encoder"][0]["lstm"]) == 2
+    B, T, H, W = 1, 2, 16, 16
+    state = ULSTMnet2D.init_state(cfg, B, H, W)
+    assert state[0][0][0].shape[-1] == 4 and state[0][1][0].shape[-1] == 6
+    new_state, logits = ULSTMnet2D.apply(
+        params, state, jax.random.normal(jax.random.PRNGKey(1), (B, T, H, W, 1)), cfg)
+    assert logits.shape == (B, T, H, W, 3)
