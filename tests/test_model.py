@@ -150,3 +150,21 @@ def test_multiple_lstm_layers_per_level():
     new_state, logits = ULSTMnet2D.apply(
         params, state, jax.random.normal(jax.random.PRNGKey(1), (B, T, H, W, 1)), cfg)
     assert logits.shape == (B, T, H, W, 3)
+
+
+def test_long_streaming_is_o1_and_finite():
+    """O(1)-memory unbounded streaming (SURVEY.md §8.4): state shape is
+    constant and outputs stay finite over a long stateful run."""
+    cfg, params = _mk()
+    B, H, W = 1, 16, 16
+    state = ULSTMnet2D.init_state(cfg, B, H, W)
+    shapes0 = [l.shape for l in jax.tree_util.tree_leaves(state)]
+    step = jax.jit(lambda s, f: ULSTMnet2D.step(params, s, f, cfg),
+                   donate_argnums=(0,))
+    x = jax.random.normal(jax.random.PRNGKey(7), (B, H, W, 1))
+    for _ in range(200):
+        state, logits = step(state, x)
+    leaves = jax.tree_util.tree_leaves(state)
+    assert [l.shape for l in leaves] == shapes0
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+    assert np.all(np.isfinite(np.asarray(logits)))
