@@ -81,6 +81,7 @@ def main(argv=None) -> None:
     log_print(f"sweep complete: {total} masks")
 
     if args.score_seg:
+        from ..io.dataset import _SEG_RE, _frame_index
         from ..metrics import seg_measure_sequence
 
         for seq_dir, out_dir in pairs:
@@ -89,14 +90,11 @@ def main(argv=None) -> None:
             if not gts:
                 continue
             # align masks to the GT frame indices (GT may be sparse)
-            import re
-
             scores_gt, scores_pred = [], []
             for g in gts:
-                m = re.search(r"man_seg(\d+)\.tif$", g)
-                if not m:
+                idx = _frame_index(g, _SEG_RE)
+                if idx is None:
                     continue
-                idx = int(m.group(1))
                 for fmt in ("mask%03d.tif", "mask%04d.tif"):
                     mp = os.path.join(out_dir, fmt % idx)
                     if os.path.exists(mp):

@@ -120,11 +120,24 @@ class StreamingInferenceEngine:
         if self.mesh is not None:
             from jax.sharding import PartitionSpec as P
 
-            # build the [B, H, ...] spec from the axes the mesh actually has
-            # (supports {'data': N}, {'spatial': M}, or both)
-            names = self.mesh.axis_names
-            spec = P("data" if "data" in names else None,
-                     "spatial" if "spatial" in names else None)
+            # build the [B, H, ...] spec from the axes the mesh actually has,
+            # and only shard a dim when it divides evenly: batch over 'data',
+            # and EVERY state level's height (h / 2^l) over 'spatial' —
+            # device_put of unevenly-sharded explicit state would crash
+            shape = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
+            data_n = shape.get("data", 0)
+            spatial_n = shape.get("spatial", 0)
+            data_ok = data_n > 1 and batch % data_n == 0
+            spatial_ok = (spatial_n > 1
+                          and h % (spatial_n * 2 ** self.cfg.nkp.depth) == 0)
+            if data_n > 1 and not data_ok:
+                log_print(f"mesh: batch={batch} not divisible by data={data_n}"
+                          " — replicating the batch dim")
+            if spatial_n > 1 and not spatial_ok:
+                log_print(f"mesh: H={h} not divisible by spatial={spatial_n}"
+                          f"*2^{self.cfg.nkp.depth} — replicating the H dim")
+            spec = P("data" if data_ok else None,
+                     "spatial" if spatial_ok else None)
             params_dev = self._shard(self.params, P())
             state = self._shard(
                 ULSTMnet2D.init_state(self.cfg, batch, h, w), spec)
@@ -174,6 +187,7 @@ class _Prefetcher:
     def __init__(self, iterable, depth: int = 4):
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._err: Optional[BaseException] = None
+        self._stop = threading.Event()
         self._t = threading.Thread(target=self._loop, args=(iterable,),
                                    daemon=True)
         self._t.start()
@@ -181,11 +195,32 @@ class _Prefetcher:
     def _loop(self, iterable):
         try:
             for item in iterable:
-                self._q.put(item)
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if self._stop.is_set():
+                    return
         except BaseException as e:  # re-raised on the consumer side
             self._err = e
         finally:
-            self._q.put(self._END)
+            # the END sentinel must reach the consumer even when the queue is
+            # momentarily full; only a close() may abandon the attempt
+            while True:
+                try:
+                    self._q.put(self._END, timeout=0.2)
+                    break
+                except queue.Full:
+                    if self._stop.is_set():
+                        break
+
+    def close(self):
+        """Stop the decode thread early (abandoned streams don't keep
+        decoding frames into a blocked queue)."""
+        self._stop.set()
+        self._t.join(timeout=2.0)
 
     def __iter__(self):
         while True:
@@ -246,21 +281,22 @@ def run_inference_batched(ip: CTCInferenceParams, sequence_paths, output_paths,
                            normalize=False)
         for sp in sequence_paths
     ]
-    iters = [iter(_Prefetcher(r, depth=2)) for r in readers]
-    writer = _AsyncWriter()
+    prefetchers = [_Prefetcher(r, depth=2) for r in readers]
+    iters = [iter(p) for p in prefetchers]
     fmt = "mask%04d.tif" if ip.digit_4 else "mask%03d.tif"
     n = 0
     b = len(readers)
-
-    cur = [next(it) for it in iters]  # (idx, frame) per lane
-    done = [False] * b
-    raw_shapes = [f.shape for _, f in cur]  # per-lane crop-back shapes
-    if len(set(raw_shapes)) != 1:
-        raise ValueError(
-            f"batched inference requires equal frame shapes, got {raw_shapes}")
-    padded0, _ = pad_to_multiple(cur[0][1], engine.depth_multiple)
-    engine._build(*padded0.shape, batch=b)
+    writer = None
     try:
+        cur = [next(it) for it in iters]  # (idx, frame) per lane
+        done = [False] * b
+        raw_shapes = [f.shape for _, f in cur]  # per-lane crop-back shapes
+        if len(set(raw_shapes)) != 1:
+            raise ValueError(
+                f"batched inference requires equal frame shapes, got {raw_shapes}")
+        padded0, _ = pad_to_multiple(cur[0][1], engine.depth_multiple)
+        engine._build(*padded0.shape, batch=b)
+        writer = _AsyncWriter()
         while not all(done):
             for lane, (_, f) in enumerate(cur):
                 if f.shape != raw_shapes[lane]:
@@ -284,6 +320,13 @@ def run_inference_batched(ip: CTCInferenceParams, sequence_paths, output_paths,
                     h, w = raw_shapes[lane]
                     writer.put(os.path.join(output_paths[lane], fmt % idx),
                                labels_np[lane, :h, :w].astype(np.uint16))
+                    if ip.save_intermediate:
+                        # per-lane dir (a shared save_intermediate_path
+                        # would collide across lanes)
+                        inter = os.path.join(output_paths[lane], "intermediate")
+                        os.makedirs(inter, exist_ok=True)
+                        np.save(os.path.join(inter, f"probs{idx:03d}.npy"),
+                                np.asarray(probs[lane, :h, :w]))
                     n += 1
             for lane in range(b):
                 if done[lane]:
@@ -293,7 +336,10 @@ def run_inference_batched(ip: CTCInferenceParams, sequence_paths, output_paths,
                 except StopIteration:
                     done[lane] = True
     finally:
-        writer.close()
+        if writer is not None:
+            writer.close()
+        for p in prefetchers:
+            p.close()
     log_print(f"batched inference: wrote {n} masks across {b} sequences")
     return n
 
@@ -312,10 +358,11 @@ def run_inference(ip: CTCInferenceParams) -> int:
     reader = CTCInferenceReader(ip.sequence_path, ip.filename_format,
                                 ip.pre_sequence_frames, normalize=False)
     writer = _AsyncWriter()
+    prefetcher = _Prefetcher(reader)
     fmt = "mask%04d.tif" if ip.digit_4 else "mask%03d.tif"
     n = 0
     try:
-        for idx, frame in _Prefetcher(reader):
+        for idx, frame in prefetcher:
             labels, probs = engine.process_frame(frame)
             if idx is None:  # warm-up frame: state kept, output discarded
                 continue
@@ -331,5 +378,6 @@ def run_inference(ip: CTCInferenceParams) -> int:
             n += 1
     finally:
         writer.close()
+        prefetcher.close()
     log_print(f"inference: wrote {n} masks to {ip.output_path}")
     return n

@@ -117,3 +117,20 @@ def test_spatially_sharded_streaming_matches_unsharded(trained, tmp_path):
         for r in refs:
             s = os.path.join(sh_dir, os.path.basename(r))
             np.testing.assert_array_equal(read_tiff(r), read_tiff(s))
+
+
+def test_batched_save_intermediate_and_data_only_mesh(trained, tmp_path):
+    """Batched path writes per-lane intermediates; data-only mesh with an
+    indivisible batch degrades gracefully to replication instead of crashing."""
+    root, ckpt = trained
+    seqs = [os.path.join(root, "Synth-N2DH-SIM", "01")]
+    ip = CTCInferenceParams(model_path=ckpt, min_cell_size=5,
+                            pre_sequence_frames=1, dtype="float32",
+                            save_intermediate=True,
+                            mesh_shape={"data": 2})  # batch=1 not divisible
+    out = [str(tmp_path / "bi")]
+    n = run_inference_batched(ip, seqs, out)
+    assert n == 8
+    inter = glob.glob(os.path.join(out[0], "intermediate", "probs*.npy"))
+    assert len(inter) == 8
+    assert np.load(inter[0]).shape == (32, 32, 3)
