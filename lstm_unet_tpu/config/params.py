@@ -239,6 +239,10 @@ class CTCParams(ParamsBase):
     # spike (observed: stable run exploding to gnorm ~2e6 in one step on
     # v5e) — clipping is cheap insurance the reference lacked
     grad_clip_norm: float = 5.0
+    # wrap the optimizer in optax.apply_if_finite: a step with non-finite
+    # grads is skipped instead of poisoning params (failure containment the
+    # reference lacked — SURVEY.md §5 failure-detection row)
+    skip_nonfinite_updates: bool = True
     num_iterations: int = 100000
     class_weights: Tuple[float, float, float] = (0.15, 0.25, 0.6)  # bg/interior/boundary [M]
 

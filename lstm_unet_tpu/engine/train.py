@@ -121,6 +121,8 @@ class Trainer:
         if params.grad_clip_norm and params.grad_clip_norm > 0:
             opt = optax.chain(
                 optax.clip_by_global_norm(params.grad_clip_norm), opt)
+        if getattr(params, "skip_nonfinite_updates", False):
+            opt = optax.apply_if_finite(opt, max_consecutive_errors=10)
         self.optimizer = opt
         self.opt_state = self.optimizer.init(self.model_params)
         self.step_fn = make_train_step(
@@ -156,6 +158,10 @@ class Trainer:
                     "unroll_len": params.unroll_len,
                 },
             })
+            # full training config next to the weights (reference: params
+            # pickled beside ckpts [M]; JSON here)
+            params.save_json(os.path.join(
+                params.experiment_save_dir, "train_params.json"))
             try:
                 from tensorboardX import SummaryWriter
 

@@ -204,3 +204,28 @@ def test_prefetcher_propagates_reader_errors():
     assert next(it) == 1
     with pytest.raises(RuntimeError, match="corrupt frame"):
         next(it)
+
+
+def test_nonfinite_grads_are_skipped(synth_root, tmp_path):
+    """optax.apply_if_finite containment: a poisoned batch must not poison
+    params (SURVEY.md §5 failure-detection upgrade)."""
+    import optax
+    from lstm_unet_tpu.engine.train import make_train_step
+    from lstm_unet_tpu.models import ModelConfig, ULSTMnet2D
+
+    cfg = ModelConfig.make(tiny_net_kernel_params())
+    params = ULSTMnet2D.init(jax.random.PRNGKey(0), cfg)
+    opt = optax.apply_if_finite(optax.adam(1e-3), max_consecutive_errors=10)
+    opt_state = opt.init(params)
+    step = make_train_step(cfg, opt, (1.0, 1.0, 1.0))
+    B, T, H, W = 1, 2, 16, 16
+    state = ULSTMnet2D.init_state(cfg, B, H, W)
+    img = jnp.full((B, T, H, W, 1), jnp.nan)  # poisoned batch
+    seg = jnp.zeros((B, T, H, W), jnp.int32)
+    ones = jnp.ones((B, T))
+    # snapshot to host BEFORE the step: the train step donates params
+    before = [np.asarray(l) for l in jax.tree_util.tree_leaves(params)]
+    new_params, opt_state, state, m = step(
+        params, opt_state, state, img, seg, ones, ones, jnp.zeros((B,)))
+    for a, b in zip(before, jax.tree_util.tree_leaves(new_params)):
+        np.testing.assert_array_equal(a, np.asarray(b))
