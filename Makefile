@@ -1,0 +1,14 @@
+.PHONY: test native bench clean
+
+test:
+	python -m pytest tests/ -x -q
+
+native:
+	$(MAKE) -C native
+
+bench:
+	python bench.py
+
+clean:
+	$(MAKE) -C native clean
+	find . -name __pycache__ -type d -exec rm -rf {} +

@@ -66,13 +66,60 @@ def make_frames(n: int, size: int) -> np.ndarray:
     return np.stack([percentile_normalize_np(f) for f in imgs])[..., None, :, :, None]
 
 
+def bench_train(size: int, dtype: str, tiny: bool, steps: int = 10):
+    """Secondary mode (--mode train): training step throughput; prints its
+    own JSON line. The driver's headline metric stays the default
+    (streaming inference) mode."""
+    import optax
+
+    from lstm_unet_tpu.config import default_net_kernel_params, tiny_net_kernel_params
+    from lstm_unet_tpu.engine.train import make_train_step
+    from lstm_unet_tpu.models import ModelConfig, ULSTMnet2D
+
+    nkp = tiny_net_kernel_params() if tiny else default_net_kernel_params()
+    cfg = ModelConfig.make(nkp, dtype=dtype)
+    params = ULSTMnet2D.init(jax.random.PRNGKey(0), cfg)
+    opt = optax.adam(1e-4)
+    opt_state = opt.init(params)
+    step = make_train_step(cfg, opt, (0.15, 0.25, 0.6), remat=True)
+    B, T = 5, 7  # reference-style config [M]
+    state = ULSTMnet2D.init_state(cfg, B, size, size)
+    img = jnp.zeros((B, T, size, size, 1), jnp.float32) + 0.5
+    seg = jnp.zeros((B, T, size, size), jnp.int32)
+    ones = jnp.ones((B, T))
+    last = jnp.zeros((B,))
+    params, opt_state, state, m = step(params, opt_state, state, img, seg,
+                                       ones, ones, last)
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        params, opt_state, state, m = step(params, opt_state, state, img,
+                                           seg, ones, ones, last)
+    float(m["loss"])
+    dt = time.perf_counter() - t0
+    fps = steps * B * T / dt
+    print(json.dumps({
+        "metric": f"training frames/sec/chip @ {size}x{size} B{B} T{T} "
+                  f"(flagship ULSTMnet2D, {dtype}, remat BPTT)",
+        "value": round(fps, 3),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / CPU_BASELINE_FPS, 3),
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=32)
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--dtype", type=str, default="bfloat16")
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--mode", choices=["infer", "train"], default="infer")
     args = ap.parse_args()
+
+    if args.mode == "train":
+        bench_train(256 if args.size == 512 else args.size, args.dtype,
+                    args.tiny)
+        return
 
     step, state = build_pipeline(args.size, args.dtype, args.tiny)
     frames = make_frames(min(args.frames, 16), args.size)
