@@ -219,3 +219,28 @@ def test_postprocess_fov_rule():
     assert lab_fov.max() == 1
     assert lab_fov[3, 3] == 0
     assert lab_fov[15, 15] == 1
+
+
+def test_ccl_spiral_worst_case(monkeypatch):
+    """Long-geodesic component (spiral): both CCL twins must still agree with
+    scipy — guards the iteration bound."""
+    import lstm_unet_tpu.ops.pallas.lstm_gates as lg
+    from lstm_unet_tpu.ops.pallas.ccl import connected_components_pallas
+
+    n = 24
+    mask = np.zeros((n, n), bool)
+    # rectangular spiral: single component with geodesic length >> n
+    top, bottom, left, right = 0, n - 1, 0, n - 1
+    while left <= right and top <= bottom:
+        mask[top, left:right + 1] = True
+        mask[top:bottom + 1, right] = True
+        mask[bottom, left:right + 1] = True
+        mask[top:bottom + 1, left] = True
+        top += 2; bottom -= 2; left += 2; right -= 2
+    ref, n_ref = ndi.label(mask, structure=np.ones((3, 3)))
+    ours, n_ours = relabel_compact(connected_components(jnp.asarray(mask)))
+    assert int(n_ours) == n_ref
+    monkeypatch.setattr(lg, "FORCE_INTERPRET", True)
+    pl_labels = np.asarray(connected_components_pallas(jnp.asarray(mask)))
+    np.testing.assert_array_equal(
+        pl_labels, np.asarray(connected_components(jnp.asarray(mask))))
