@@ -64,6 +64,11 @@ class ModelConfig:
     # path stays available (and tested) for kernels where it wins.
     use_pallas: bool = False
     dtype: str = "float32"
+    # LSTM carry dtype: 'auto' follows `dtype`; 'float32' keeps (h, c) in f32
+    # under bf16 compute — the cell state accumulates across an unbounded
+    # stream, so drift matters for very long sequences (gate math always
+    # runs in f32 internally either way)
+    state_dtype: str = "auto"
 
     @staticmethod
     def make(nkp: NetKernelParams, **kw) -> "ModelConfig":
@@ -80,6 +85,12 @@ class ModelConfig:
     @property
     def compute_dtype(self):
         return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[self.dtype]
+
+    @property
+    def carry_dtype(self):
+        if self.state_dtype == "auto":
+            return self.compute_dtype
+        return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[self.state_dtype]
 
 
 def _maybe_add_norm(conv_params: Dict[str, jax.Array], filters: int,
@@ -153,7 +164,7 @@ class ULSTMnet2D:
         if height % (2 ** nkp.depth) or width % (2 ** nkp.depth):
             raise ValueError(
                 f"H,W must be multiples of 2^depth={2 ** nkp.depth}, got {height}x{width}")
-        dt = cfg.compute_dtype
+        dt = cfg.carry_dtype
         state: State = []
         h, w = height, width
         for lvl in range(nkp.depth):
@@ -195,6 +206,7 @@ class ULSTMnet2D:
                     recurrent_activation=cfg.recurrent_activation,
                     use_pallas=cfg.use_pallas)
                 lvl_state.append(carry)
+                x = x.astype(dt)  # carry may be f32 (state_dtype='float32')
             for conv in level["convs"]:
                 x = _conv_block(x, conv, cfg)
             skips.append(x)

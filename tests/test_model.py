@@ -168,3 +168,24 @@ def test_long_streaming_is_o1_and_finite():
     assert [l.shape for l in leaves] == shapes0
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
     assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_f32_state_under_bf16_compute():
+    """state_dtype='float32' keeps the carry in f32 under bf16 compute and
+    stays close to the full-f32 reference."""
+    nkp = tiny_net_kernel_params()
+    cfg = ModelConfig.make(nkp, dtype="bfloat16", state_dtype="float32")
+    params = ULSTMnet2D.init(jax.random.PRNGKey(0), cfg)
+    B, T, H, W = 1, 4, 16, 16
+    state = ULSTMnet2D.init_state(cfg, B, H, W)
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree_util.tree_leaves(state))
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, H, W, 1))
+    new_state, logits = ULSTMnet2D.apply(params, state, x, cfg)
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree_util.tree_leaves(new_state))
+
+    cfg32 = ModelConfig.make(nkp, dtype="float32")
+    s32 = ULSTMnet2D.init_state(cfg32, B, H, W)
+    _, ref = ULSTMnet2D.apply(params, s32, x, cfg32)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref), atol=0.15)
