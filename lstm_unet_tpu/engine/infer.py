@@ -86,6 +86,16 @@ class StreamingInferenceEngine:
         sh = NamedSharding(self.mesh, spec)
         return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
+    def _cast_params(self, params):
+        """Pre-cast float weights to the compute dtype ONCE: conv2d casts
+        kernels per call anyway, so this is numerically identical, but it
+        removes the per-frame f32→bf16 conversion pass (profiled at
+        ~4.5 ms/frame @512² — BASELINE.md)."""
+        dt = self.cfg.compute_dtype
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(dt) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            params)
+
     def _build(self, h: int, w: int, batch: int = 1):
         ip = self.ip
 
@@ -138,12 +148,12 @@ class StreamingInferenceEngine:
                           f"*2^{self.cfg.nkp.depth} — replicating the H dim")
             spec = P("data" if data_ok else None,
                      "spatial" if spatial_ok else None)
-            params_dev = self._shard(self.params, P())
+            params_dev = self._shard(self._cast_params(self.params), P())
             state = self._shard(
                 ULSTMnet2D.init_state(self.cfg, batch, h, w), spec)
             self._frame_spec = spec
         else:
-            params_dev = jax.device_put(self.params)
+            params_dev = jax.device_put(self._cast_params(self.params))
             state = ULSTMnet2D.init_state(self.cfg, batch, h, w)
             self._frame_spec = None
         self._params_dev = params_dev
