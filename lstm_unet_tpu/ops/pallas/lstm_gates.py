@@ -172,13 +172,23 @@ def _bwd_pallas(gates2d, c2d, dc_out2d, dh2d, recurrent_activation: str):
 
 def lstm_gate_update_xla(gates: jax.Array, c: jax.Array,
                          recurrent_activation: str = "sigmoid"):
-    """XLA-composite twin — the correctness oracle (SURVEY.md §7 step 3)."""
+    """XLA-composite twin — the correctness oracle (SURVEY.md §7 step 3).
+
+    Gate math runs in f32, but the upcast happens per-slice AFTER the gate
+    tensor is read: casting the whole tensor first fuses the convert into
+    the producing conv and materializes the 4F gates in f32 — doubling the
+    dominant HBM buffer's traffic under bf16 compute (seen in the step HLO:
+    f32 gate buffers at level 0).
+    """
     feat = c.shape[-1]
-    g32 = gates.astype(jnp.float32)
-    i = _recurrent_act(g32[..., 0 * feat: 1 * feat], recurrent_activation)
-    f = _recurrent_act(g32[..., 1 * feat: 2 * feat], recurrent_activation)
-    cand = jnp.tanh(g32[..., 2 * feat: 3 * feat])
-    o = _recurrent_act(g32[..., 3 * feat: 4 * feat], recurrent_activation)
+
+    def g32(k):
+        return gates[..., k * feat: (k + 1) * feat].astype(jnp.float32)
+
+    i = _recurrent_act(g32(0), recurrent_activation)
+    f = _recurrent_act(g32(1), recurrent_activation)
+    cand = jnp.tanh(g32(2))
+    o = _recurrent_act(g32(3), recurrent_activation)
     c_new = f * c.astype(jnp.float32) + i * cand
     h_new = o * jnp.tanh(c_new)
     return c_new.astype(c.dtype), h_new.astype(c.dtype)
