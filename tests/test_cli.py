@@ -1,0 +1,55 @@
+"""CLI argument-surface tests (reference contract: argparse overrides map
+onto Params fields — SURVEY.md §1 L3)."""
+
+import json
+
+import pytest
+
+from lstm_unet_tpu.cli.inference2d import build_parser as infer_parser
+from lstm_unet_tpu.cli.train2d import _parse_seq_list, build_parser as train_parser
+
+
+def test_train_parser_seq_list_and_types():
+    args = train_parser().parse_args([
+        "--train_sequence_list", "Fluo-N2DH-SIM+:01,DIC-C2DH-HeLa:02",
+        "--crop_size", "128", "96",
+        "--batch_size", "3",
+        "--class_weights", "0.1", "0.3", "0.6",
+        "--dry_run",
+        "--gt_is_full_seg", "false",
+    ])
+    assert args.train_sequence_list == [("Fluo-N2DH-SIM+", "01"),
+                                        ("DIC-C2DH-HeLa", "02")]
+    assert args.crop_size == [128, 96]
+    assert args.batch_size == 3
+    assert args.dry_run is True
+    assert args.gt_is_full_seg is False
+
+
+def test_seq_list_handles_colons_in_dataset_name():
+    # rsplit: only the LAST colon separates the sequence id
+    assert _parse_seq_list("weird:name:01") == [("weird:name", "01")]
+
+
+def test_infer_parser_requires_paths():
+    with pytest.raises(SystemExit):
+        infer_parser().parse_args(["--model_path", "x"])  # missing required
+    args = infer_parser().parse_args([
+        "--model_path", "m", "--sequence_path", "s", "--output_path", "o",
+        "--FOV", "25", "--digit_4",
+    ])
+    assert args.FOV == 25 and args.digit_4 is True
+
+
+def test_unset_flags_do_not_override_defaults():
+    """None-valued argparse results must not clobber CTCInferenceParams
+    defaults (override() skips None)."""
+    from lstm_unet_tpu.config import CTCInferenceParams
+
+    args = vars(infer_parser().parse_args(
+        ["--model_path", "m", "--sequence_path", "s", "--output_path", "o"]))
+    p = CTCInferenceParams()
+    default_min = p.min_cell_size
+    p.override(**args)
+    assert p.min_cell_size == default_min
+    assert p.model_path == "m"
