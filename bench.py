@@ -52,13 +52,12 @@ def build_pipeline(size: int, dtype: str, tiny: bool):
                                    min_cell_size=10, grow_iters=3)
         return new_state, labels
 
+    from lstm_unet_tpu.models.ulstm_unet import cast_params_for_inference
+
     jitted = jax.jit(step, donate_argnums=(1,))
-    # pre-cast weights to the compute dtype once (conv2d would cast per
-    # frame otherwise — profiled at ~4.5 ms/frame of convert passes)
-    compute_dt = cfg.compute_dtype
-    params = jax.device_put(jax.tree_util.tree_map(
-        lambda x: x.astype(compute_dt)
-        if jnp.issubdtype(x.dtype, jnp.floating) else x, params))
+    # pre-cast weights once (same helper the inference engine uses)
+    params = jax.device_put(
+        cast_params_for_inference(params, cfg.compute_dtype))
     return (lambda state, frame: jitted(params, state, frame)), state
 
 

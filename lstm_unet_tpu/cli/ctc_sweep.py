@@ -59,7 +59,7 @@ def main(argv=None) -> None:
         model_path=args.model_path, min_cell_size=args.min_cell_size,
         FOV=args.FOV, pre_sequence_frames=args.pre_sequence_frames,
         dtype=args.dtype)
-    params, cfg = load_model(args.model_path, dtype=args.dtype)
+    params, cfg = load_model(args.model_path, dtype=args.dtype)  # state_dtype via CTCInferenceParams when needed
 
     groups = defaultdict(list)  # frame shape -> [(seq_dir, out_dir)]
     for ds, seq, seq_dir in find_sequences(args.root_data_dir):

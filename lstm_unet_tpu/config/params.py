@@ -232,6 +232,8 @@ class CTCParams(ParamsBase):
     recurrent_activation: str = "sigmoid"  # 'hard_sigmoid' for Keras-2.0 parity
     norm: str = "none"               # optional 'layernorm' (BN presence in ref is [M])
     dtype: str = "float32"           # compute dtype; 'bfloat16' for TPU speed
+    state_dtype: str = "auto"        # LSTM carry dtype; 'float32' to resist
+                                     # drift on very long streams under bf16
 
     # optimization
     learning_rate: float = 1e-5      # reference ~1e-5 [M]
@@ -288,6 +290,8 @@ class CTCInferenceParams(ParamsBase):
     save_intermediate: bool = False
     save_intermediate_path: str = ""
     dtype: str = "bfloat16"
+    state_dtype: str = "auto"      # 'float32': f32 LSTM carry for unbounded
+                                   # streams under bf16 compute
     digit_4: bool = False          # True → mask%04d.tif (long sequences, e.g. PSC)
     # multi-chip streaming (no reference analog): 'data' shards batched
     # sequences, 'spatial' shards frame height (XLA inserts conv halos)

@@ -38,14 +38,16 @@ from ..ops.postprocess import postprocess_frame
 from ..utils import log_print
 
 
-def load_model(model_path: str, dtype: Optional[str] = None
-               ) -> Tuple[Any, ModelConfig]:
+def load_model(model_path: str, dtype: Optional[str] = None,
+               state_dtype: Optional[str] = None) -> Tuple[Any, ModelConfig]:
     """Rebuild model from model_params.json + orbax ckpt (reference: pickled
     arch + tf Checkpoint.restore [M])."""
     arch = load_model_params(model_path)
     cfg_kw = dict(arch["model_config"])
     if dtype is not None:
         cfg_kw["dtype"] = dtype
+    if state_dtype is not None:
+        cfg_kw["state_dtype"] = state_dtype
     cfg = ModelConfig(**cfg_kw)
     # init abstractly to get the param tree structure, then restore real values
     abstract = jax.eval_shape(
@@ -87,14 +89,9 @@ class StreamingInferenceEngine:
         return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
     def _cast_params(self, params):
-        """Pre-cast float weights to the compute dtype ONCE: conv2d casts
-        kernels per call anyway, so this is numerically identical, but it
-        removes the per-frame f32→bf16 conversion pass (profiled at
-        ~4.5 ms/frame @512² — BASELINE.md)."""
-        dt = self.cfg.compute_dtype
-        return jax.tree_util.tree_map(
-            lambda x: x.astype(dt) if jnp.issubdtype(x.dtype, jnp.floating) else x,
-            params)
+        from ..models.ulstm_unet import cast_params_for_inference
+
+        return cast_params_for_inference(params, self.cfg.compute_dtype)
 
     def _build(self, h: int, w: int, batch: int = 1):
         ip = self.ip
@@ -284,7 +281,8 @@ def run_inference_batched(ip: CTCInferenceParams, sequence_paths, output_paths,
     this is the batched TPU upgrade of that driver.
     """
     if params is None or cfg is None:
-        params, cfg = load_model(ip.model_path, dtype=ip.dtype)
+        params, cfg = load_model(ip.model_path, dtype=ip.dtype,
+                                 state_dtype=getattr(ip, "state_dtype", None))
     engine = StreamingInferenceEngine(params, cfg, ip)
     readers = [
         CTCInferenceReader(sp, ip.filename_format, ip.pre_sequence_frames,
@@ -361,7 +359,8 @@ def run_inference(ip: CTCInferenceParams) -> int:
     ``mask###.tif`` under ``output_path``; optional intermediate 3-class
     probability maps when ``save_intermediate``.
     """
-    params, cfg = load_model(ip.model_path, dtype=ip.dtype)
+    params, cfg = load_model(ip.model_path, dtype=ip.dtype,
+                                 state_dtype=getattr(ip, "state_dtype", None))
     engine = StreamingInferenceEngine(params, cfg, ip)
     # raw frames: normalization runs on device inside the jitted step;
     # decode happens on a prefetch thread, overlapped with device compute

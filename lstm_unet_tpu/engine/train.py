@@ -112,6 +112,7 @@ class Trainer:
             recurrent_activation=params.recurrent_activation,
             norm=params.norm,
             dtype=params.dtype,
+            state_dtype=getattr(params, "state_dtype", "auto"),
         )
         self.mesh = make_mesh(params.mesh_shape) if params.mesh_shape else None
 

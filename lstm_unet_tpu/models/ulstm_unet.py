@@ -116,6 +116,27 @@ def _conv_block(x: jax.Array, conv: Dict[str, jax.Array],
     return activate(x, cfg.activation)
 
 
+def cast_params_for_inference(params: Params, dtype) -> Params:
+    """Pre-cast conv/LSTM weights to the compute dtype (conv2d casts per call
+    anyway, so this is identical math with the casts hoisted out of the hot
+    loop). LayerNorm scale/bias are EXCLUDED — _conv_block applies them in
+    f32, so truncating them would perturb logits."""
+
+    def rec(node):
+        if isinstance(node, dict):
+            return {
+                k: (v if k.startswith("ln_") else rec(v))
+                for k, v in node.items()
+            }
+        if isinstance(node, list):
+            return [rec(v) for v in node]
+        if hasattr(node, "dtype") and jnp.issubdtype(node.dtype, jnp.floating):
+            return node.astype(dtype)
+        return node
+
+    return rec(params)
+
+
 class ULSTMnet2D:
     """Functional model: ``params`` and ``state`` are explicit pytrees."""
 

@@ -54,7 +54,10 @@ def connected_components(mask: jax.Array, connectivity: int = 8,
     idx = (jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
            + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) + 1)
     lbl0 = jnp.where(mask, idx, _INF)
-    bound = max_iters or (h + w)
+    # worst-case geodesic diameter is O(h*w) (snake/spiral components) —
+    # a h+w bound silently fragments such components; the early-exit keeps
+    # typical cell masks at O(cell diameter) sweeps regardless of the bound
+    bound = max_iters or (h * w)
 
     def cond(state):
         lbl, changed, it = state

@@ -60,7 +60,9 @@ def _ccl_kernel(sweeps_per_check: int, mask_ref, out_ref):
 
     def cond(state):
         _, changed, it = state
-        return jnp.logical_and(changed, it < h + w)
+        # h*w bound covers worst-case geodesics (matches the XLA twin);
+        # early exit keeps real masks fast
+        return jnp.logical_and(changed, it < h * w)
 
     def body(state):
         lbl, _, it = state
@@ -80,9 +82,8 @@ def connected_components_pallas(mask: jax.Array,
 
     Produces exactly the labels of ops.ccl.connected_components (8-conn,
     component-min seeds). Dispatches to the XLA twin off-TPU.
-    ``sweeps_per_check=4`` matches the XLA twin's loop body exactly, so both
-    kernels emit identical labels even on adversarial masks whose geodesic
-    diameter exceeds the h+w iteration bound (both stop at the same sweep).
+    ``sweeps_per_check=4`` and the h*w iteration bound match the XLA twin's
+    loop exactly, so both kernels emit identical labels.
     """
     if jax.default_backend() != "tpu" and not _lg.FORCE_INTERPRET:
         from ..ccl import connected_components

@@ -189,3 +189,23 @@ def test_f32_state_under_bf16_compute():
     s32 = ULSTMnet2D.init_state(cfg32, B, H, W)
     _, ref = ULSTMnet2D.apply(params, s32, x, cfg32)
     np.testing.assert_allclose(np.asarray(logits), np.asarray(ref), atol=0.15)
+
+
+def test_cast_params_for_inference_excludes_layernorm():
+    from lstm_unet_tpu.models.ulstm_unet import cast_params_for_inference
+
+    cfg = ModelConfig.make(tiny_net_kernel_params(), norm="layernorm",
+                           dtype="bfloat16")
+    params = ULSTMnet2D.init(jax.random.PRNGKey(0), cfg)
+    cast = cast_params_for_inference(params, jnp.bfloat16)
+    conv0 = cast["encoder"][0]["convs"][0]
+    assert conv0["kernel"].dtype == jnp.bfloat16
+    assert conv0["ln_scale"].dtype == jnp.float32  # norm params stay f32
+    assert conv0["ln_bias"].dtype == jnp.float32
+    # outputs identical to uncast params (conv2d casts per call anyway)
+    B, T, H, W = 1, 2, 16, 16
+    s = ULSTMnet2D.init_state(cfg, B, H, W)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, H, W, 1))
+    _, a = ULSTMnet2D.apply(params, s, x, cfg)
+    _, b = ULSTMnet2D.apply(cast, s, x, cfg)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

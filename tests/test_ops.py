@@ -221,25 +221,46 @@ def test_postprocess_fov_rule():
     assert lab_fov[15, 15] == 1
 
 
+def _spiral_mask(n: int) -> np.ndarray:
+    """A genuinely CONNECTED 1-px spiral path: geodesic diameter ~n^2/4,
+    far beyond any O(n) iteration bound."""
+    mask = np.zeros((n, n), bool)
+    y = x = 0
+    dy, dx = 0, 1
+    top, bottom, left, right = 0, n - 1, 0, n - 1
+    mask[y, x] = True
+    while True:
+        ny, nx = y + dy, x + dx
+        if dy == 0 and dx == 1 and nx > right:
+            dy, dx = 1, 0; top += 2
+        elif dy == 1 and dx == 0 and ny > bottom:
+            dy, dx = 0, -1; right -= 2
+        elif dy == 0 and dx == -1 and nx < left:
+            dy, dx = -1, 0; bottom -= 2
+        elif dy == -1 and dx == 0 and ny < top:
+            dy, dx = 0, 1; left += 2
+        ny, nx = y + dy, x + dx
+        if not (top - 2 <= ny <= bottom + 2 and left - 2 <= nx <= right + 2):
+            break
+        if top > bottom or left > right:
+            break
+        y, x = ny, nx
+        mask[y, x] = True
+    return mask
+
+
 def test_ccl_spiral_worst_case(monkeypatch):
-    """Long-geodesic component (spiral): both CCL twins must still agree with
-    scipy — guards the iteration bound."""
+    """Long-geodesic SINGLE component (a connected spiral walk): both CCL
+    twins must agree with scipy — guards the iteration bound (an h+w bound
+    silently fragmented this case into dozens of instances)."""
     import lstm_unet_tpu.ops.pallas.lstm_gates as lg
     from lstm_unet_tpu.ops.pallas.ccl import connected_components_pallas
 
-    n = 24
-    mask = np.zeros((n, n), bool)
-    # rectangular spiral: single component with geodesic length >> n
-    top, bottom, left, right = 0, n - 1, 0, n - 1
-    while left <= right and top <= bottom:
-        mask[top, left:right + 1] = True
-        mask[top:bottom + 1, right] = True
-        mask[bottom, left:right + 1] = True
-        mask[top:bottom + 1, left] = True
-        top += 2; bottom -= 2; left += 2; right -= 2
+    mask = _spiral_mask(24)
     ref, n_ref = ndi.label(mask, structure=np.ones((3, 3)))
+    assert n_ref == 1, "test precondition: spiral must be one component"
     ours, n_ours = relabel_compact(connected_components(jnp.asarray(mask)))
-    assert int(n_ours) == n_ref
+    assert int(n_ours) == 1
     monkeypatch.setattr(lg, "FORCE_INTERPRET", True)
     pl_labels = np.asarray(connected_components_pallas(jnp.asarray(mask)))
     np.testing.assert_array_equal(
