@@ -145,6 +145,26 @@ class ParamsBase:
             os.makedirs(self.experiment_log_dir, exist_ok=True)
             os.makedirs(self.experiment_save_dir, exist_ok=True)
 
+    def resolve_continue_dirs(self) -> bool:
+        """Reuse the most recent existing experiment dir for this
+        ``experiment_name`` (continue_run without an explicit
+        load_checkpoint_path — the reference resumes from the checkpoint
+        paths derived in Params.__init__ [M]). The timestamp format sorts
+        lexicographically == chronologically. Returns False when no prior
+        run exists (caller falls back to :meth:`resolve_dirs`)."""
+        import glob as _glob
+
+        pattern = os.path.join(self.root_save_dir, f"{self.experiment_name}_*")
+        runs = sorted(
+            d for d in _glob.glob(pattern)
+            if os.path.isdir(os.path.join(d, "ckpt")))
+        if not runs:
+            return False
+        base = runs[-1]
+        self.experiment_log_dir = os.path.join(base, "logs")
+        self.experiment_save_dir = os.path.join(base, "ckpt")
+        return True
+
     # ---- JSON round-trip (replaces the reference's pickle; SURVEY.md §5) ----
 
     def to_json(self) -> str:

@@ -240,11 +240,18 @@ class _Prefetcher:
 
 
 class _AsyncWriter:
-    """Writer thread: overlap host TIFF encode with device compute."""
+    """Writer thread: overlap host TIFF encode with device compute.
+
+    Fail-fast: the FIRST write error is kept and re-raised on the next
+    ``put()`` (and again on ``close()`` if never surfaced) — a failing disk
+    stops the stream within ~one frame instead of silently burning device
+    time producing masks that will be reported failed at the end.
+    """
 
     def __init__(self):
         self._q: queue.Queue = queue.Queue(maxsize=8)
-        self._err = None
+        self._err = None  # first error wins
+        self._raised = False
         self._t = threading.Thread(target=self._loop, daemon=True)
         self._t.start()
 
@@ -253,19 +260,25 @@ class _AsyncWriter:
             item = self._q.get()
             if item is None:
                 return
+            if self._err is not None:
+                continue  # error pending: drain without writing
             path, arr = item
             try:
                 write_tiff(path, arr)
-            except Exception as e:  # surfaced on close()
+            except Exception as e:
                 self._err = e
 
     def put(self, path: str, arr: np.ndarray):
+        if self._err is not None:
+            self._raised = True
+            raise self._err
         self._q.put((path, arr))
 
     def close(self):
         self._q.put(None)
         self._t.join()
-        if self._err:
+        if self._err and not self._raised:
+            self._raised = True
             raise self._err
 
 

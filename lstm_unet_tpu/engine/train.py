@@ -103,7 +103,15 @@ class Trainer:
                 "data_format='NHWC' only: NHWC is the TPU-native layout "
                 "(the reference's NCHW knob existed for cuDNN)")
         if params.experiment_save_dir is None:
-            params.resolve_dirs()
+            # continue_run without an explicit load path: reuse the latest
+            # experiment dir (a fresh timestamped dir would hold no ckpt and
+            # _restore would fail — ADVICE r1)
+            resumed = (params.continue_run and not params.load_checkpoint_path
+                       and params.resolve_continue_dirs())
+            if resumed:
+                log_print(f"continue_run: resuming {params.experiment_save_dir}")
+            else:
+                params.resolve_dirs()
         self.cfg = ModelConfig.make(
             params.net_kernel_params,
             in_channels=1,

@@ -137,7 +137,10 @@ class CTCRAMReaderSequence2D:
         self._stop = threading.Event()
         self._threads: List[threading.Thread] = []
         self._seed = seed
+        self._err: Optional[BaseException] = None
         self.randomize = params.randomize
+
+    _ERR = object()  # queue sentinel: producer died, error in self._err
 
     # -- per-lane stream ----------------------------------------------------
 
@@ -223,6 +226,20 @@ class CTCRAMReaderSequence2D:
         return img.astype(np.float32), seg, valid, full_seg, is_last
 
     def _producer(self, tid: int):
+        try:
+            self._producer_loop(tid)
+        except BaseException as e:
+            # propagate to the consumer: a dead producer must not leave
+            # get_batch() blocking forever (e.g. a cv2.warpAffine failure)
+            self._err = e
+            while not self._stop.is_set():
+                try:
+                    self._q.put(self._ERR, timeout=0.5)
+                    return
+                except queue.Full:
+                    continue
+
+    def _producer_loop(self, tid: int):
         rng = np.random.default_rng(self._seed + 1000 * tid)
         lanes = [self._new_traversal(rng) for _ in range(self.batch)]
         while not self._stop.is_set():
@@ -263,13 +280,25 @@ class CTCRAMReaderSequence2D:
         log_print(f"CTCRAMReaderSequence2D: {self.num_threads} producer thread(s) started")
 
     def get_batch(self):
-        return self._q.get()
+        item = self._q.get()
+        if item is self._ERR:
+            raise self._err
+        return item
 
     def stop(self) -> None:
         self._stop.set()
         for th in self._threads:
             th.join(timeout=2.0)
         self._threads.clear()
+        # drain leftover windows: a restarted producer begins fresh traversals,
+        # so stale mid-sequence windows would pair a fresh LSTM state with the
+        # tail of an old stream and break BPTT window continuity
+        while True:
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                break
+        self._err = None
 
 
 class CTCInferenceReader:

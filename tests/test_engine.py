@@ -206,6 +206,75 @@ def test_prefetcher_propagates_reader_errors():
         next(it)
 
 
+def test_async_writer_fails_fast(tmp_path):
+    """A write error must surface on the NEXT put(), not at close()."""
+    import time
+
+    from lstm_unet_tpu.engine.infer import _AsyncWriter
+
+    w = _AsyncWriter()
+    # float32 is rejected by write_tiff — a deterministic write error
+    w.put(str(tmp_path / "x.tif"), np.zeros((4, 4), np.float32))
+    err = None
+    for _ in range(100):  # writer thread needs a moment to hit the error
+        try:
+            w.put(str(tmp_path / "ok.tif"), np.zeros((4, 4), np.uint16))
+        except Exception as e:
+            err = e
+            break
+        time.sleep(0.05)
+    assert err is not None, "writer never surfaced the error on put()"
+    w.close()  # an already-surfaced error must not re-raise here
+
+
+def test_reader_producer_errors_propagate(synth_root, tmp_path):
+    """A dead producer thread must raise in get_batch, not hang it (ADVICE r1)."""
+    from lstm_unet_tpu.io.dataset import CTCRAMReaderSequence2D
+
+    p = _params(synth_root, tmp_path, dry_run=True)
+    reader = CTCRAMReaderSequence2D(p, num_threads=1)
+    def boom(*a, **k):
+        raise RuntimeError("producer boom")
+    reader._window = boom
+    reader.start_queues()
+    with pytest.raises(RuntimeError, match="producer boom"):
+        reader.get_batch()
+    reader.stop()
+
+
+def test_reader_stop_drains_queue(synth_root, tmp_path):
+    """stop() must drop stale mid-sequence windows so a restarted train()
+    pairs fresh LSTM state with fresh traversals (ADVICE r1)."""
+    import time
+
+    from lstm_unet_tpu.io.dataset import CTCRAMReaderSequence2D
+
+    p = _params(synth_root, tmp_path, dry_run=True)
+    reader = CTCRAMReaderSequence2D(p, num_threads=1)
+    reader.start_queues()
+    reader.get_batch()
+    time.sleep(0.3)  # let the producer refill the queue
+    reader.stop()
+    assert reader._q.empty()
+    reader.start_queues()  # restart serves fresh windows
+    reader.get_batch()
+    reader.stop()
+
+
+def test_continue_run_finds_latest_run_dir(synth_root, tmp_path):
+    """continue_run without load_checkpoint_path must reuse the newest
+    experiment dir instead of creating an empty timestamped one (ADVICE r1)."""
+    p = _params(synth_root, tmp_path, save_checkpoint_iteration=5)
+    t1 = Trainer(p, seed=0)
+    t1.train(num_iterations=6)
+    step1 = t1.global_step
+
+    p2 = _params(synth_root, tmp_path, continue_run=True)  # no dirs given
+    t2 = Trainer(p2, seed=1)
+    assert t2.global_step == step1
+    assert p2.experiment_save_dir == p.experiment_save_dir
+
+
 def test_nonfinite_grads_are_skipped(synth_root, tmp_path):
     """optax.apply_if_finite containment: a poisoned batch must not poison
     params (SURVEY.md §5 failure-detection upgrade)."""
