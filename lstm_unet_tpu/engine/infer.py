@@ -93,10 +93,19 @@ class StreamingInferenceEngine:
 
         return cast_params_for_inference(params, self.cfg.compute_dtype)
 
-    def _build(self, h: int, w: int, batch: int = 1):
-        ip = self.ip
+    def _build(self, oh: int, ow: int, batch: int = 1):
+        """Compile the per-frame step for ORIGINAL frame size (oh, ow).
 
-        from ..io.preprocess import percentile_normalize
+        The model consumes the reflect-padded frame (multiple of 2^depth)
+        but normalization statistics and the instance postprocess run at
+        the original size: reflected duplicate pixels would shift the
+        percentiles vs training's pre-crop normalization, inflate border
+        cells for the size filters, and move the FOV border (reference
+        postprocesses at original size — ADVICE r1 / VERDICT r1 weak #7).
+        """
+        ip = self.ip
+        h = oh + (-oh) % self.depth_multiple
+        w = ow + (-ow) % self.depth_multiple
 
         # params is an explicit jit argument (closed-over arrays would be
         # inlined into the HLO as constants — huge programs, slow compiles)
@@ -104,9 +113,17 @@ class StreamingInferenceEngine:
         def step(params, state, frame):
             # percentile normalization on device: the reference normalizes
             # per frame on the host (SURVEY.md §2 "Inference reader") which
-            # on a thin host would bottleneck the streaming loop
-            frame = jax.vmap(percentile_normalize)(frame)
+            # on a thin host would bottleneck the streaming loop.
+            # Stats come from the unpadded interior only (crop is static).
+            def norm(f):  # [H,W,1] padded
+                inner = f[:oh, :ow].astype(jnp.float32).reshape(-1)
+                lo = jnp.percentile(inner, 1.0)
+                hi = jnp.percentile(inner, 99.0)
+                return (f.astype(jnp.float32) - lo) / jnp.maximum(hi - lo, 1e-6)
+
+            frame = jax.vmap(norm)(frame)
             new_state, logits = ULSTMnet2D.step(params, state, frame, self.cfg)
+            logits = logits[:, :oh, :ow]  # postprocess at original size
             probs = jax.nn.softmax(logits, axis=-1)
             labels = jax.vmap(
                 lambda p: postprocess_frame(
@@ -156,7 +173,7 @@ class StreamingInferenceEngine:
         self._params_dev = params_dev
         self._step = lambda s, frame: step(self._params_dev, s, frame)
         self._state = state
-        self._shape = (batch, h, w)
+        self._shape = (batch, oh, ow)
 
     def reset(self):
         self._state = None
@@ -171,15 +188,16 @@ class StreamingInferenceEngine:
         """
         h, w = frame.shape
         padded, (ph, pw) = pad_to_multiple(frame, self.depth_multiple)
-        if self._shape != (1,) + padded.shape:
-            self._build(*padded.shape)
+        if self._shape != (1, h, w):
+            self._build(h, w)
         x = jnp.asarray(padded, jnp.float32)[None, ..., None]
         if self._frame_spec is not None:
             x = self._shard(x, self._frame_spec)
         self._state, labels, probs = self._step(self._state, x)
-        probs_out = (np.asarray(probs[0, :h, :w])
+        # outputs are already cropped to (h, w) inside the jitted step
+        probs_out = (np.asarray(probs[0])
                      if self.ip.save_intermediate else None)
-        return np.asarray(labels[0, :h, :w]), probs_out
+        return np.asarray(labels[0]), probs_out
 
 
 class _Prefetcher:
@@ -315,8 +333,7 @@ def run_inference_batched(ip: CTCInferenceParams, sequence_paths, output_paths,
         if len(set(raw_shapes)) != 1:
             raise ValueError(
                 f"batched inference requires equal frame shapes, got {raw_shapes}")
-        padded0, _ = pad_to_multiple(cur[0][1], engine.depth_multiple)
-        engine._build(*padded0.shape, batch=b)
+        engine._build(*raw_shapes[0], batch=b)
         writer = _AsyncWriter()
         while not all(done):
             for lane, (_, f) in enumerate(cur):

@@ -119,6 +119,36 @@ def test_spatially_sharded_streaming_matches_unsharded(trained, tmp_path):
             np.testing.assert_array_equal(read_tiff(r), read_tiff(s))
 
 
+def test_non_multiple_frames_postprocess_at_original_size(trained, tmp_path):
+    """Frames not divisible by 2^depth: normalization stats and instance
+    postprocess must run at the ORIGINAL size, with outputs cropped inside
+    the jitted step (ADVICE r1 medium: reflect-padding inflated border-cell
+    areas and moved the FOV border)."""
+    data_root = str(tmp_path / "data")
+    write_ctc_dataset(data_root, dataset="Synth-N2DH-SIM", seq="03",
+                      num_frames=5, height=30, width=29, num_cells=2, seed=5)
+    _, ckpt = trained
+    seq = os.path.join(data_root, "Synth-N2DH-SIM", "03")
+    ip = CTCInferenceParams(model_path=ckpt, sequence_path=seq,
+                            output_path=str(tmp_path / "nm"), min_cell_size=5,
+                            pre_sequence_frames=1, dtype="float32",
+                            save_intermediate=True)
+    n = run_inference(ip)
+    assert n == 5
+    masks = sorted(glob.glob(str(tmp_path / "nm" / "mask*.tif")))
+    assert read_tiff(masks[0]).shape == (30, 29)
+    probs = sorted(glob.glob(str(tmp_path / "nm" / "intermediate" / "probs*.npy")))
+    assert np.load(probs[0]).shape == (30, 29, 3)
+
+    # batched path takes the same crop-inside-step route
+    outs = [str(tmp_path / "nmb")]
+    nb = run_inference_batched(ip, [seq], outs)
+    assert nb == 5
+    for mb in sorted(glob.glob(os.path.join(outs[0], "mask*.tif"))):
+        ms = str(tmp_path / "nm" / os.path.basename(mb))
+        np.testing.assert_array_equal(read_tiff(mb), read_tiff(ms))
+
+
 def test_batched_save_intermediate_and_data_only_mesh(trained, tmp_path):
     """Batched path writes per-lane intermediates; data-only mesh with an
     indivisible batch degrades gracefully to replication instead of crashing."""
