@@ -47,8 +47,15 @@ def main(argv=None) -> None:
     ap.add_argument("--output_root", type=str, required=True)
     ap.add_argument("--min_cell_size", type=int, default=10)
     ap.add_argument("--FOV", type=int, default=0)
+    ap.add_argument("--cell_thresh", type=float, default=0.5)
+    ap.add_argument("--edge_thresh", type=float, default=0.3)
+    ap.add_argument("--boundary_growth", type=str, default="marker",
+                    choices=["marker", "dilate", "none"])
+    ap.add_argument("--grow_iters", type=int, default=0)
     ap.add_argument("--pre_sequence_frames", type=int, default=4)
     ap.add_argument("--dtype", type=str, default="bfloat16")
+    ap.add_argument("--state_dtype", type=str, default="auto",
+                    choices=["auto", "float32", "bfloat16"])
     ap.add_argument("--max_batch", type=int, default=4)
     ap.add_argument("--score_seg", action="store_true",
                     help="after the sweep, score SEG against <seq>_GT/SEG "
@@ -57,9 +64,13 @@ def main(argv=None) -> None:
 
     ip = CTCInferenceParams(
         model_path=args.model_path, min_cell_size=args.min_cell_size,
-        FOV=args.FOV, pre_sequence_frames=args.pre_sequence_frames,
-        dtype=args.dtype)
-    params, cfg = load_model(args.model_path, dtype=args.dtype)  # state_dtype via CTCInferenceParams when needed
+        FOV=args.FOV, cell_thresh=args.cell_thresh,
+        edge_thresh=args.edge_thresh, boundary_growth=args.boundary_growth,
+        grow_iters=args.grow_iters,
+        pre_sequence_frames=args.pre_sequence_frames,
+        dtype=args.dtype, state_dtype=args.state_dtype)
+    params, cfg = load_model(args.model_path, dtype=args.dtype,
+                             state_dtype=args.state_dtype)
 
     groups = defaultdict(list)  # frame shape -> [(seq_dir, out_dir)]
     for ds, seq, seq_dir in find_sequences(args.root_data_dir):

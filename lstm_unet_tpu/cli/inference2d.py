@@ -28,6 +28,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--max_cell_size", type=int)
     ap.add_argument("--cell_thresh", type=float)
     ap.add_argument("--edge_thresh", type=float)
+    ap.add_argument("--boundary_growth", type=str,
+                    choices=["marker", "dilate", "none"])
+    ap.add_argument("--grow_iters", type=int)
     ap.add_argument("--pre_sequence_frames", type=int)
     ap.add_argument("--save_intermediate", action="store_true", default=None)
     ap.add_argument("--save_intermediate_path", type=str)

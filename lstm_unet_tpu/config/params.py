@@ -306,6 +306,12 @@ class CTCInferenceParams(ParamsBase):
     max_cell_size: int = 0         # 0 = unlimited
     edge_thresh: float = 0.3       # boundary-probability threshold [M]
     cell_thresh: float = 0.5       # interior-probability threshold [M]
+    # boundary-band label growth: 'marker' = nearest-marker growth to band
+    # exhaustion (reference's marker-based region growth [M]), 'dilate' =
+    # fixed-round max-label dilation, 'none'. grow_iters caps the rounds
+    # (0 = exhaustion for 'marker', 3 for 'dilate').
+    boundary_growth: str = "marker"
+    grow_iters: int = 0
     pre_sequence_frames: int = 4   # LSTM warm-up: initial frames fed reversed [M]
     save_intermediate: bool = False
     save_intermediate_path: str = ""

@@ -133,6 +133,8 @@ class StreamingInferenceEngine:
                     min_cell_size=ip.min_cell_size,
                     max_cell_size=ip.max_cell_size,
                     fov=ip.FOV,
+                    boundary_growth=ip.boundary_growth,
+                    grow_iters=ip.grow_iters,
                 )
             )(probs)
             if not ip.save_intermediate:

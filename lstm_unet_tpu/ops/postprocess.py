@@ -20,6 +20,9 @@ from .ccl import connected_components, relabel_compact
 from .pallas.ccl import connected_components_pallas
 
 
+_INT_MAX = jnp.iinfo(jnp.int32).max
+
+
 def _neighbor_max(lbl: jax.Array) -> jax.Array:
     p = jnp.pad(lbl, 1, constant_values=0)
     h, w = lbl.shape
@@ -32,10 +35,54 @@ def _neighbor_max(lbl: jax.Array) -> jax.Array:
     return out
 
 
+def _neighbor_min_nonzero(lbl: jax.Array) -> jax.Array:
+    """Min nonzero label over the 8-neighborhood (_INT_MAX where none)."""
+    masked = jnp.where(lbl > 0, lbl, _INT_MAX)
+    p = jnp.pad(masked, 1, constant_values=_INT_MAX)
+    h, w = lbl.shape
+    out = jnp.full_like(lbl, _INT_MAX)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            out = jnp.minimum(out, jax.lax.dynamic_slice(p, (1 + dy, 1 + dx), (h, w)))
+    return out
+
+
+def grow_into_band(lbl: jax.Array, band: jax.Array, max_rounds: int = 0
+                   ) -> jax.Array:
+    """Marker-based region growth: expand instance labels into ``band``
+    pixels until the band is exhausted (early-exit while_loop).
+
+    All markers advance one pixel per round (simultaneous BFS), so each band
+    pixel is claimed by its geodesically NEAREST marker — the watershed-style
+    assignment of the reference's boundary handling (SURVEY.md §2 "Inference
+    driver" [M]). Simultaneous arrivals tie-break to the smaller (raster-
+    first) label, deterministically. ``max_rounds > 0`` caps the growth
+    radius; 0 grows to exhaustion.
+    """
+    h, w = lbl.shape
+    bound = max_rounds if max_rounds > 0 else h * w  # geodesic worst case
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < bound)
+
+    def body(state):
+        cur, _, it = state
+        nb = _neighbor_min_nonzero(cur)
+        new = jnp.where((cur == 0) & band & (nb != _INT_MAX), nb, cur)
+        return new, jnp.any(new != cur), it + 1
+
+    lbl, _, _ = jax.lax.while_loop(cond, body, (lbl, jnp.bool_(True), jnp.int32(0)))
+    return lbl
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cell_thresh", "edge_thresh", "min_cell_size",
-                     "max_cell_size", "fov", "grow_iters", "use_pallas_ccl"),
+                     "max_cell_size", "fov", "boundary_growth", "grow_iters",
+                     "use_pallas_ccl"),
 )
 def postprocess_frame(
     probs: jax.Array,
@@ -44,7 +91,8 @@ def postprocess_frame(
     min_cell_size: int = 10,
     max_cell_size: int = 0,
     fov: int = 0,
-    grow_iters: int = 3,
+    boundary_growth: str = "marker",
+    grow_iters: int = 0,
     use_pallas_ccl: bool = False,
 ) -> jax.Array:
     """3-class probabilities [H,W,3] → instance labels [H,W] int32.
@@ -53,8 +101,12 @@ def postprocess_frame(
       1. interior mask  = p(cell) > cell_thresh
       2. 8-connected components on interior
       3. drop components outside [min_cell_size, max_cell_size]
-      4. grow surviving labels into the boundary band
-         (pixels with p(boundary) > edge_thresh), `grow_iters` dilation rounds
+      4. grow surviving labels into the boundary band (pixels with
+         p(boundary) > edge_thresh): ``boundary_growth='marker'`` (default)
+         is nearest-marker growth to band exhaustion (reference's
+         marker-based region growth [M]); ``'dilate'`` is fixed-round
+         max-label dilation; ``'none'`` skips growth. ``grow_iters`` caps
+         the rounds (0 = exhaustion for 'marker', 3 for 'dilate').
       5. FOV rule: remove instances that never touch the interior region
          `fov` pixels in from every image border [M]
       6. compact to 1..N in raster order (cv2.connectedComponents order)
@@ -72,12 +124,17 @@ def postprocess_frame(
         raw = connected_components(interior, connectivity=8)
     lbl, _ = relabel_compact(raw, min_size=min_cell_size, max_size=max_cell_size)
 
-    if grow_iters > 0:
+    if boundary_growth == "marker":
         band = (probs[..., 2] > edge_thresh) & ~interior
+        lbl = grow_into_band(lbl, band, max_rounds=grow_iters)
+    elif boundary_growth == "dilate":
+        band = (probs[..., 2] > edge_thresh) & ~interior
+        rounds = grow_iters if grow_iters > 0 else 3
         def grow(_, cur):
-            grown = jnp.where((cur == 0) & band, _neighbor_max(cur), cur)
-            return grown
-        lbl = jax.lax.fori_loop(0, grow_iters, grow, lbl)
+            return jnp.where((cur == 0) & band, _neighbor_max(cur), cur)
+        lbl = jax.lax.fori_loop(0, rounds, grow, lbl)
+    elif boundary_growth != "none":
+        raise ValueError(f"unknown boundary_growth {boundary_growth!r}")
 
     if fov > 0:
         rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)

@@ -37,8 +37,14 @@ def test_infer_parser_requires_paths():
     args = infer_parser().parse_args([
         "--model_path", "m", "--sequence_path", "s", "--output_path", "o",
         "--FOV", "25", "--digit_4",
+        "--boundary_growth", "dilate", "--grow_iters", "5",
     ])
     assert args.FOV == 25 and args.digit_4 is True
+    assert args.boundary_growth == "dilate" and args.grow_iters == 5
+    with pytest.raises(SystemExit):  # invalid growth mode rejected
+        infer_parser().parse_args([
+            "--model_path", "m", "--sequence_path", "s", "--output_path", "o",
+            "--boundary_growth", "bogus"])
 
 
 def test_unset_flags_do_not_override_defaults():

@@ -191,6 +191,48 @@ def test_postprocess_frame_end_to_end():
     assert lab[20, 20] == 0
 
 
+def _two_cells_shared_band():
+    """Cells A (cols 0-2) and B (cols 12-14) sharing a 9-px boundary band."""
+    h, w = 8, 15
+    probs = np.zeros((h, w, 3), np.float32)
+    probs[:, 0:3, 1] = 1.0    # cell A interior
+    probs[:, 12:15, 1] = 1.0  # cell B interior
+    probs[:, 3:12, 2] = 1.0   # thick shared band
+    probs[..., 0] = 1.0 - probs[..., 1] - probs[..., 2]
+    return probs
+
+
+def test_marker_growth_shared_band_nearest_marker():
+    """Marker growth exhausts a thick shared band, assigning each pixel to
+    the geodesically nearest marker; the equidistant column tie-breaks to
+    the raster-first label (VERDICT r1 task 4)."""
+    probs = _two_cells_shared_band()
+    lab = np.asarray(postprocess_frame(jnp.asarray(probs), min_cell_size=4))
+    assert lab.max() == 2
+    assert np.all(lab[:, 3:12] > 0)   # band fully labeled (exhaustion)
+    # col c: dist(A) = c-2, dist(B) = 12-c → equal at c=7, tie → label 1
+    assert np.all(lab[:, 3:8] == 1)
+    assert np.all(lab[:, 8:12] == 2)
+
+
+def test_marker_growth_iter_cap():
+    probs = _two_cells_shared_band()
+    lab = np.asarray(postprocess_frame(
+        jnp.asarray(probs), min_cell_size=4, grow_iters=2))
+    assert np.all(lab[:, 3:5] == 1) and np.all(lab[:, 10:12] == 2)
+    assert np.all(lab[:, 5:10] == 0)  # beyond the 2-round radius
+
+
+def test_dilate_mode_leaves_band_center_unlabeled():
+    """Legacy fixed-round dilation: 3 rounds leave the center of a 9-px
+    band unlabeled — the round-1 behavior the marker mode replaces."""
+    probs = _two_cells_shared_band()
+    lab = np.asarray(postprocess_frame(
+        jnp.asarray(probs), min_cell_size=4, boundary_growth="dilate"))
+    assert np.all(lab[:, 3:6] == 1) and np.all(lab[:, 9:12] == 2)
+    assert np.all(lab[:, 6:9] == 0)
+
+
 def test_pallas_ccl_matches_xla(monkeypatch, rng):
     """Pallas CCL (interpret mode on CPU) == XLA min-propagation twin."""
     import lstm_unet_tpu.ops.pallas.lstm_gates as lg
