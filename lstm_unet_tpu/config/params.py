@@ -270,6 +270,9 @@ class CTCParams(ParamsBase):
 
     # bookkeeping
     validation_interval: int = 1000
+    # min component size for the per-object SEG scored during validation
+    # (the postprocess run on val predictions — see Trainer._val_seg)
+    val_seg_min_cell_size: int = 10
     print_to_console_interval: int = 100
     save_checkpoint_iteration: int = 5000
     write_to_tb_interval: int = 500

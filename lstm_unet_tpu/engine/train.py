@@ -79,16 +79,18 @@ def make_eval_step(cfg: ModelConfig, class_weights):
                                      full_seg)
         new_state = ULSTMnet2D.reset_lanes(new_state, is_last)
         pred = jnp.argmax(logits, axis=-1)
-        # approximate SEG proxy tracked during validation (reference:
-        # seg_measure-style helper [L]): interior-class IoU on valid frames
+        # cheap pixel-level proxy (interior-class IoU on valid frames);
+        # the real per-object SEG is computed by Trainer._val_seg from the
+        # returned probabilities (SURVEY.md §2 "Validation metric")
         mask = valid[:, :, None, None] > 0
         p1 = (pred == 1) & mask
         g1 = (seg == 1) & mask
         inter = jnp.sum(p1 & g1)
         union = jnp.maximum(jnp.sum(p1 | g1), 1)
         seg_proxy = inter / union
+        probs = jax.nn.softmax(logits, axis=-1)
         return new_state, {"loss": loss, "accuracy": acc,
-                           "seg_proxy": seg_proxy}, pred
+                           "seg_proxy": seg_proxy}, probs
 
     return jax.jit(step, donate_argnums=(1,))
 
@@ -138,6 +140,7 @@ class Trainer:
             self.cfg, self.optimizer, params.class_weights, remat=params.remat)
         self.eval_fn = make_eval_step(self.cfg, params.class_weights)
         self.global_step = 0
+        self.last_val_metrics: Dict[str, float] = {}
 
         # data (reference: params.data_provider_class selects the reader [M])
         provider = DATA_PROVIDERS.get(params.data_provider_class)
@@ -146,9 +149,11 @@ class Trainer:
                 f"unknown data_provider_class {params.data_provider_class!r}; "
                 f"registered: {sorted(DATA_PROVIDERS)}")
         self.reader = provider(params, seed=seed)
+        # val batches carry instance GT so validation can score the real
+        # per-object SEG measure, not only the pixel proxy
         self.val_reader = (
             provider(params, params.val_sequence_list,
-                     num_threads=1, seed=seed + 17)
+                     num_threads=1, seed=seed + 17, return_instances=True)
             if params.val_sequence_list else None)
 
         # bookkeeping
@@ -204,6 +209,29 @@ class Trainer:
         if self.mesh is not None:
             return shard_batch(self.mesh, batch)
         return jax.tree_util.tree_map(jnp.asarray, batch)
+
+    def _val_seg(self, probs, inst, valid) -> float:
+        """Per-object SEG on postprocessed validation predictions
+        (SURVEY.md §2 "Validation metric": per-object Jaccard on connected
+        components). Runs the SAME on-device postprocess as inference
+        (threshold → CCL → min-size → marker growth) on every annotated
+        frame of the val window and scores metrics/seg.py::seg_measure
+        against the instance GT carried by the val reader."""
+        from ..metrics import seg_measure
+        from ..ops.postprocess import postprocess_frame
+
+        total, count = 0.0, 0
+        b_n, t_n = valid.shape
+        for b in range(b_n):
+            for t in range(t_n):
+                if valid[b, t] <= 0:
+                    continue
+                lab = np.asarray(postprocess_frame(
+                    probs[b, t], min_cell_size=self.p.val_seg_min_cell_size))
+                s, n = seg_measure(inst[b, t], lab)
+                total += s
+                count += n
+        return total / count if count else 0.0
 
     # ------------------------------------------------------------------
 
@@ -262,14 +290,19 @@ class Trainer:
                         self.tb.add_scalar(f"train/{k}", v, self.global_step)
 
                 if self.val_reader and (it + 1) % p.validation_interval == 0:
-                    vbatch = self._put(self.val_reader.get_batch())
-                    vimg, vseg, vvalid, vfull, vlast = vbatch
-                    val_state, vm, vpred = self.eval_fn(
+                    (vimg_h, vseg_h, vvalid_h, vfull_h, vlast_h,
+                     vinst) = self.val_reader.get_batch()
+                    vimg, vseg, vvalid, vfull, vlast = self._put(
+                        (vimg_h, vseg_h, vvalid_h, vfull_h, vlast_h))
+                    val_state, vm, vprobs = self.eval_fn(
                         self.model_params, val_state, vimg, vseg, vvalid,
                         vfull, vlast)
                     vm = {k: float(v) for k, v in vm.items()}
+                    vm["seg"] = self._val_seg(vprobs, vinst, vvalid_h)
+                    self.last_val_metrics = vm
                     log_print(f"  val: loss={vm['loss']:.4f} "
                               f"acc={vm['accuracy']:.4f} "
+                              f"seg={vm['seg']:.4f} "
                               f"seg_proxy={vm['seg_proxy']:.4f}")
                     if self.tb:
                         for k, v in vm.items():
@@ -282,9 +315,9 @@ class Trainer:
                         self.tb.add_image(
                             "val/gt", np.asarray(vseg[0, -1])[None] / 2.0,
                             self.global_step)
+                        vpred0 = np.argmax(np.asarray(vprobs[0, -1]), -1)
                         self.tb.add_image(
-                            "val/pred", np.asarray(vpred[0, -1])[None] / 2.0,
-                            self.global_step)
+                            "val/pred", vpred0[None] / 2.0, self.global_step)
 
                 if self.ckpt and (it + 1) % p.save_checkpoint_iteration == 0:
                     self.ckpt.save(self.global_step, self.model_params, self.opt_state)

@@ -47,11 +47,13 @@ class _SequenceData:
     """One CTC sequence fully resident in RAM (images + 3-class GT + flags)."""
 
     def __init__(self, images: np.ndarray, seg: np.ndarray, valid: np.ndarray,
-                 full_seg: np.ndarray, name: str):
+                 full_seg: np.ndarray, name: str,
+                 inst: Optional[np.ndarray] = None):
         self.images = images      # [T,H,W] float32 (percentile-normalized)
         self.seg = seg            # [T,H,W] uint8 {0,1,2}
         self.valid = valid        # [T] bool — frame has SEG annotation
         self.full_seg = full_seg  # [T] bool — annotation covers every cell
+        self.inst = inst          # [T,H,W] int32 instance ids, or None
         self.name = name
 
     def __len__(self) -> int:
@@ -59,13 +61,16 @@ class _SequenceData:
 
 
 def load_ctc_sequence(root: str, dataset: str, seq: str,
-                      gt_is_full_seg: Optional[bool] = None) -> _SequenceData:
+                      gt_is_full_seg: Optional[bool] = None,
+                      keep_instances: bool = False) -> _SequenceData:
     """Load one CTC sequence + GT into RAM (reference: RAM reader load [H]).
 
     ``full_seg`` semantics (reference: DataHandeling.py full_seg flag [M]):
     silver truth (``_ST``) and simulated datasets (name contains "SIM") are
     fully annotated; gold truth (``_GT``) on real datasets may label only
     some cells per frame. ``gt_is_full_seg`` overrides the heuristic.
+    ``keep_instances`` additionally keeps the raw instance-labeled GT
+    (needed for the per-object SEG validation metric).
     """
     seq_dir = os.path.join(root, dataset, seq)
     frames = sorted(glob.glob(os.path.join(seq_dir, "t*.tif")))
@@ -75,6 +80,7 @@ def load_ctc_sequence(root: str, dataset: str, seq: str,
 
     t, h, w = imgs.shape
     seg = np.zeros((t, h, w), dtype=np.uint8)
+    inst = np.zeros((t, h, w), dtype=np.int32) if keep_instances else None
     valid = np.zeros((t,), dtype=bool)
     full = np.zeros((t,), dtype=bool)
     gt_full = gt_is_full_seg if gt_is_full_seg is not None else ("SIM" in dataset)
@@ -84,10 +90,13 @@ def load_ctc_sequence(root: str, dataset: str, seq: str,
             idx = _frame_index(p, _SEG_RE)
             if idx is None or idx >= t or valid[idx]:
                 continue
-            seg[idx] = instance_to_three_class(read_tiff(p))
+            raw = read_tiff(p)
+            seg[idx] = instance_to_three_class(raw)
+            if inst is not None:
+                inst[idx] = raw.astype(np.int32)
             valid[idx] = True
             full[idx] = kind_full
-    return _SequenceData(imgs, seg, valid, full, f"{dataset}/{seq}")
+    return _SequenceData(imgs, seg, valid, full, f"{dataset}/{seq}", inst)
 
 
 class CTCRAMReaderSequence2D:
@@ -116,15 +125,20 @@ class CTCRAMReaderSequence2D:
 
     def __init__(self, params: CTCParams, sequence_list: Optional[Sequence] = None,
                  num_threads: Optional[int] = None, queue_capacity: int = 16,
-                 seed: int = 0):
+                 seed: int = 0, return_instances: bool = False):
         self.params = params
         self.crop = tuple(params.crop_size)
         self.unroll = params.unroll_len
         self.batch = params.batch_size
+        # return_instances: batches gain a 6th element, instance GT
+        # [B,T,H,W] int32, augmented in lockstep — feeds the per-object SEG
+        # validation metric (SURVEY.md §2 "Validation metric")
+        self.return_instances = return_instances
         seq_list = sequence_list if sequence_list is not None else params.train_sequence_list
         gt_full = getattr(params, "gt_is_full_seg", None)
         self.sequences = [
-            load_ctc_sequence(params.root_data_dir, ds, sq, gt_full)
+            load_ctc_sequence(params.root_data_dir, ds, sq, gt_full,
+                              keep_instances=return_instances)
             for ds, sq in seq_list
         ]
         self.elastic = params.elastic_augmentation
@@ -176,32 +190,43 @@ class CTCRAMReaderSequence2D:
         return s, aug
 
     @staticmethod
-    def _apply_affine(img: np.ndarray, seg: np.ndarray, m: np.ndarray):
+    def _apply_affine(img: np.ndarray, seg: np.ndarray, m: np.ndarray,
+                      inst: Optional[np.ndarray] = None):
         """Affine-warp a [T,H,W] window (image bilinear, labels nearest)."""
         try:
             import cv2
         except Exception:
-            return img, seg  # cv2-less hosts skip elastic augmentation
+            return img, seg, inst  # cv2-less hosts skip elastic augmentation
         h, w = img.shape[1:]
         mm = m.copy()
         # rotate/scale about the crop center
         c = np.array([w / 2, h / 2], np.float32)
         mm[:, 2] = c - mm[:, :2] @ c
+
+        def warp_labels(lab):
+            return np.stack([
+                cv2.warpAffine(f.astype(np.float32), mm, (w, h),
+                               flags=cv2.INTER_NEAREST,
+                               borderMode=cv2.BORDER_REFLECT).astype(np.int32)
+                for f in lab])
+
         img = np.stack([
             cv2.warpAffine(f, mm, (w, h), flags=cv2.INTER_LINEAR,
                            borderMode=cv2.BORDER_REFLECT) for f in img])
-        seg = np.stack([
-            cv2.warpAffine(f.astype(np.uint8), mm, (w, h),
-                           flags=cv2.INTER_NEAREST,
-                           borderMode=cv2.BORDER_REFLECT).astype(np.int32)
-            for f in seg])
-        return img, seg
+        seg = warp_labels(seg)
+        if inst is not None:
+            inst = warp_labels(inst)
+        return img, seg, inst
 
     def _window(self, s: _SequenceData, aug: Dict, start: int):
         ch, cw = min(self.crop[0], s.images.shape[1]), min(self.crop[1], s.images.shape[2])
         sl_t = slice(start, start + self.unroll)
-        img = s.images[sl_t, aug["y0"]:aug["y0"] + ch, aug["x0"]:aug["x0"] + cw].copy()
-        seg = s.seg[sl_t, aug["y0"]:aug["y0"] + ch, aug["x0"]:aug["x0"] + cw].astype(np.int32)
+        sl_y = slice(aug["y0"], aug["y0"] + ch)
+        sl_x = slice(aug["x0"], aug["x0"] + cw)
+        img = s.images[sl_t, sl_y, sl_x].copy()
+        seg = s.seg[sl_t, sl_y, sl_x].astype(np.int32)
+        inst = (s.inst[sl_t, sl_y, sl_x].copy()
+                if self.return_instances else None)
         valid = s.valid[sl_t].astype(np.float32)
         full_seg = s.full_seg[sl_t].astype(np.float32)
         # pad short tail windows by repeating the last frame; padded frames invalid
@@ -210,20 +235,27 @@ class CTCRAMReaderSequence2D:
             rep = self.unroll - n
             img = np.concatenate([img, np.repeat(img[-1:], rep, 0)], 0)
             seg = np.concatenate([seg, np.repeat(seg[-1:], rep, 0)], 0)
+            if inst is not None:
+                inst = np.concatenate([inst, np.repeat(inst[-1:], rep, 0)], 0)
             valid = np.concatenate([valid, np.zeros(rep, np.float32)], 0)
             full_seg = np.concatenate([full_seg, np.zeros(rep, np.float32)], 0)
+        labs = [seg] if inst is None else [seg, inst]
         if aug["flip_y"]:
-            img, seg = img[:, ::-1], seg[:, ::-1]
+            img = img[:, ::-1]
+            labs = [l[:, ::-1] for l in labs]
         if aug["flip_x"]:
-            img, seg = img[:, :, ::-1], seg[:, :, ::-1]
+            img = img[:, :, ::-1]
+            labs = [l[:, :, ::-1] for l in labs]
         if aug["rot90"]:
             img = np.rot90(img, aug["rot90"], axes=(1, 2))
-            seg = np.rot90(seg, aug["rot90"], axes=(1, 2))
+            labs = [np.rot90(l, aug["rot90"], axes=(1, 2)) for l in labs]
+        seg = labs[0]
+        inst = labs[1] if inst is not None else None
         if aug["affine"] is not None:
-            img, seg = self._apply_affine(img, seg, aug["affine"])
+            img, seg, inst = self._apply_affine(img, seg, aug["affine"], inst)
         img = img * aug["gain"] + aug["bias"]  # photometric jitter [M]
         is_last = float(start + self.unroll >= len(s))
-        return img.astype(np.float32), seg, valid, full_seg, is_last
+        return img.astype(np.float32), seg, inst, valid, full_seg, is_last
 
     def _producer(self, tid: int):
         try:
@@ -243,12 +275,13 @@ class CTCRAMReaderSequence2D:
         rng = np.random.default_rng(self._seed + 1000 * tid)
         lanes = [self._new_traversal(rng) for _ in range(self.batch)]
         while not self._stop.is_set():
-            imgs, segs, valids, fulls, lasts = [], [], [], [], []
+            imgs, segs, insts, valids, fulls, lasts = [], [], [], [], [], []
             for i in range(self.batch):
                 s, aug = lanes[i]
-                img, seg, valid, full_seg, is_last = self._window(s, aug, aug["start"])
-                imgs.append(img); segs.append(seg); valids.append(valid)
-                fulls.append(full_seg); lasts.append(is_last)
+                img, seg, inst, valid, full_seg, is_last = self._window(
+                    s, aug, aug["start"])
+                imgs.append(img); segs.append(seg); insts.append(inst)
+                valids.append(valid); fulls.append(full_seg); lasts.append(is_last)
                 if is_last:
                     lanes[i] = self._new_traversal(rng)
                 else:
@@ -260,6 +293,8 @@ class CTCRAMReaderSequence2D:
                 np.stack(fulls),
                 np.asarray(lasts, np.float32),
             )
+            if self.return_instances:
+                batch = batch + (np.stack(insts),)
             while not self._stop.is_set():
                 try:
                     self._q.put(batch, timeout=0.5)
