@@ -58,6 +58,9 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
+    def all_steps(self):
+        return self._mgr.all_steps()
+
     def restore(self, abstract_params, abstract_opt_state,
                 step: Optional[int] = None) -> Tuple[Any, Any, int]:
         step = step if step is not None else self._mgr.latest_step()

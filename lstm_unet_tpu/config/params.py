@@ -277,6 +277,10 @@ class CTCParams(ParamsBase):
     save_checkpoint_iteration: int = 5000
     write_to_tb_interval: int = 500
     save_checkpoint_max_to_keep: int = 5
+    # periodic saves snapshot to non-donated device buffers and drain
+    # asynchronously (no step-loop stall); False restores the save+barrier
+    # behavior (the final save always barriers)
+    async_checkpoint: bool = True
     load_checkpoint: bool = False
     load_checkpoint_path: str = ""
     continue_run: bool = False

@@ -198,6 +198,27 @@ class Trainer:
             abstract, abstract_opt)
         log_print(f"restored checkpoint at step {self.global_step}")
 
+    def _save_checkpoint(self, final: bool = False) -> None:
+        """Checkpoint without stalling the step loop.
+
+        The async orbax writer must NEVER read buffers the jitted train step
+        donates: the next step overwrites them mid-drain (observed on axon
+        r1: training wedged permanently after the first periodic save, hence
+        the old barrier costing ~1 min per save through the tunnel). Instead
+        a periodic save snapshots params/opt_state to fresh non-donated
+        device buffers (an HBM-local copy, ~ms) and lets the device→host
+        drain overlap subsequent train steps. The final save barriers: the
+        process may exit immediately after.
+        """
+        if self.p.async_checkpoint and not final:
+            snap = jax.tree_util.tree_map(
+                lambda x: jnp.copy(x) if hasattr(x, "dtype") else x,
+                (self.model_params, self.opt_state))
+            self.ckpt.save(self.global_step, *snap)
+        else:
+            self.ckpt.save(self.global_step, self.model_params, self.opt_state)
+            self.ckpt.wait()
+
     def _fresh_state(self):
         h, w = self.p.crop_size
         state = ULSTMnet2D.init_state(self.cfg, self.p.batch_size, h, w)
@@ -320,12 +341,7 @@ class Trainer:
                             "val/pred", vpred0[None] / 2.0, self.global_step)
 
                 if self.ckpt and (it + 1) % p.save_checkpoint_iteration == 0:
-                    self.ckpt.save(self.global_step, self.model_params, self.opt_state)
-                    # barrier: the async-save thread reads device buffers the
-                    # train step DONATES — letting the next step run while the
-                    # save drains wedges tunneled backends (observed on axon:
-                    # training never resumed after the first periodic save)
-                    self.ckpt.wait()
+                    self._save_checkpoint()
         finally:
             if profiling:  # stop leaked traces (short runs / exceptions)
                 try:
@@ -336,8 +352,7 @@ class Trainer:
             if self.val_reader:
                 self.val_reader.stop()
             if self.ckpt:
-                self.ckpt.save(self.global_step, self.model_params, self.opt_state)
-                self.ckpt.wait()
+                self._save_checkpoint(final=True)
             if self.tb:
                 self.tb.close()
         if not last and metrics:
