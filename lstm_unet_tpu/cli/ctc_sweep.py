@@ -72,16 +72,21 @@ def main(argv=None) -> None:
     params, cfg = load_model(args.model_path, dtype=args.dtype,
                              state_dtype=args.state_dtype)
 
-    groups = defaultdict(list)  # frame shape -> [(seq_dir, out_dir)]
+    groups = defaultdict(list)  # frame shape -> [(n_frames, seq_dir, out_dir)]
     for ds, seq, seq_dir in find_sequences(args.root_data_dir):
-        first = sorted(glob.glob(os.path.join(seq_dir, "t*.tif")))[0]
-        shape = read_tiff(first).shape
+        frames = sorted(glob.glob(os.path.join(seq_dir, "t*.tif")))
+        shape = read_tiff(frames[0]).shape
         out_dir = os.path.join(args.output_root, ds, f"{seq}_RES")
-        groups[shape].append((seq_dir, out_dir))
+        groups[shape].append((len(frames), seq_dir, out_dir))
 
     total = 0
     pairs = []
     for shape, items in groups.items():
+        # batch similar-LENGTH sequences together: exhausted lanes keep
+        # stepping under the static-shape jit (run_inference_batched), so a
+        # short lane batched with a long one wastes ~1/B of the chip for the
+        # tail — length-sorted chunks minimize that tail
+        items = [(s, o) for _, s, o in sorted(items, key=lambda x: x[0])]
         log_print(f"sweep: {len(items)} sequence(s) at {shape}")
         for i in range(0, len(items), args.max_batch):
             chunk = items[i: i + args.max_batch]

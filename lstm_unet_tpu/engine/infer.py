@@ -312,6 +312,15 @@ def run_inference_batched(ip: CTCInferenceParams, sequence_paths, output_paths,
     program per frame-step serves the whole batch; LSTM state stays per-lane.
     No reference analog — Inference2D.py is strictly one-sequence-at-a-time;
     this is the batched TPU upgrade of that driver.
+
+    Ragged-end economics (measured, BASELINE.md): per-chip throughput is
+    ~flat in B (22.5 fps at B=1 vs 20.1 at B=4 @512² — weights are ~1% of
+    HBM traffic, so batching scales compute and bandwidth together), so an
+    exhausted lane wastes ~1/B of the chip; but re-jitting at a smaller B
+    costs ~2 min of v5e compile through the tunnel, i.e. shrinking only pays
+    for tails longer than ~2400 frames — an order of magnitude beyond any
+    CTC sequence. Lanes therefore stay at B; the sweep driver minimizes the
+    tail by batching length-sorted sequences.
     """
     if params is None or cfg is None:
         params, cfg = load_model(ip.model_path, dtype=ip.dtype,
