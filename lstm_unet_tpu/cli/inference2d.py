@@ -34,7 +34,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--pre_sequence_frames", type=int)
     ap.add_argument("--save_intermediate", action="store_true", default=None)
     ap.add_argument("--save_intermediate_path", type=str)
-    ap.add_argument("--dtype", type=str, choices=["float32", "bfloat16"])
+    ap.add_argument("--dtype", type=str,
+                    choices=["float32", "bfloat16", "int8"])
     ap.add_argument("--state_dtype", type=str,
                     choices=["auto", "float32", "bfloat16"])
     ap.add_argument("--digit_4", action="store_true", default=None)

@@ -44,7 +44,10 @@ def load_model(model_path: str, dtype: Optional[str] = None,
     arch + tf Checkpoint.restore [M])."""
     arch = load_model_params(model_path)
     cfg_kw = dict(arch["model_config"])
-    if dtype is not None:
+    if dtype == "int8":  # int8 convs, bf16 elsewhere (ops/quant.py)
+        cfg_kw["dtype"] = "bfloat16"
+        cfg_kw["quant"] = "int8"
+    elif dtype is not None:
         cfg_kw["dtype"] = dtype
     if state_dtype is not None:
         cfg_kw["state_dtype"] = state_dtype
@@ -89,6 +92,10 @@ class StreamingInferenceEngine:
         return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
     def _cast_params(self, params):
+        if self.cfg.quant == "int8":
+            from ..ops.quant import quantize_params_int8
+
+            return quantize_params_int8(params)
         from ..models.ulstm_unet import cast_params_for_inference
 
         return cast_params_for_inference(params, self.cfg.compute_dtype)

@@ -64,6 +64,10 @@ class ModelConfig:
     # path stays available (and tested) for kernels where it wins.
     use_pallas: bool = False
     dtype: str = "float32"
+    # 'int8': conv MXU ops run int8xint8->int32 with f32 dequant epilogues
+    # (ops/quant.py); everything else follows `dtype`. Inference-only —
+    # params must be quantized via quantize_params_int8.
+    quant: str = "none"
     # LSTM carry dtype: 'auto' follows `dtype`; 'float32' keeps (h, c) in f32
     # under bf16 compute — the cell state accumulates across an unbounded
     # stream, so drift matters for very long sequences (gate math always
@@ -103,10 +107,19 @@ def _maybe_add_norm(conv_params: Dict[str, jax.Array], filters: int,
     return conv_params
 
 
+def _apply_conv(x: jax.Array, conv: Dict[str, jax.Array]) -> jax.Array:
+    """Dispatch float vs int8-quantized conv (param dicts self-describe)."""
+    if "kernel_q" in conv:
+        from ..ops.quant import conv2d_q
+
+        return conv2d_q(x, conv, out_dtype=x.dtype)
+    return conv2d(x, conv["kernel"], conv["bias"])
+
+
 def _conv_block(x: jax.Array, conv: Dict[str, jax.Array],
                 cfg: "ModelConfig") -> jax.Array:
     """conv → optional channel LayerNorm → activation."""
-    x = conv2d(x, conv["kernel"], conv["bias"])
+    x = _apply_conv(x, conv)
     if "ln_scale" in conv:
         x32 = x.astype(jnp.float32)
         mu = jnp.mean(x32, axis=-1, keepdims=True)
@@ -240,7 +253,7 @@ class ULSTMnet2D:
             for conv in params["decoder"][lvl]["convs"]:
                 x = _conv_block(x, conv, cfg)
 
-        logits = conv2d(x, params["head"]["kernel"], params["head"]["bias"])
+        logits = _apply_conv(x, params["head"])
         return new_state, logits.astype(jnp.float32)
 
     @staticmethod

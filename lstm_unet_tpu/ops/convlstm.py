@@ -70,8 +70,17 @@ class ConvLSTMCell:
               use_pallas: bool = True) -> Tuple[Carry, jax.Array]:
         """One timestep: ((h,c), x[B,H,W,Cin]) -> ((h',c'), h')."""
         h, c = carry
-        gates = (conv2d(x, params["kernel_x"], params["bias"])
-                 + conv2d(h.astype(x.dtype), params["kernel_h"]))
+        if "kernel_x_q" in params:  # int8-quantized cell (ops/quant.py)
+            from .quant import conv2d_q
+
+            gates = (conv2d_q(x, {"kernel_q": params["kernel_x_q"],
+                                  "w_scale": params["wx_scale"],
+                                  "bias": params["bias"]})
+                     + conv2d_q(h, {"kernel_q": params["kernel_h_q"],
+                                    "w_scale": params["wh_scale"]}))
+        else:
+            gates = (conv2d(x, params["kernel_x"], params["bias"])
+                     + conv2d(h.astype(x.dtype), params["kernel_h"]))
         update = fused_lstm_gate_update if use_pallas else lstm_gate_update_xla
         c_new, h_new = update(gates, c, recurrent_activation)
         return (h_new, c_new), h_new

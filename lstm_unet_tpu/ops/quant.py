@@ -1,0 +1,105 @@
+"""int8 quantized inference (no reference analog — TPU upgrade).
+
+The v5e MXU's int8 peak is 2x its bf16 peak, and the streaming step is
+compute/bandwidth co-limited (BASELINE.md roofline: 56% MXU / 54% HBM
+simultaneously), so int8 convs attack both terms at once: half the MXU time
+and half the activation bytes into each conv.
+
+Scheme (symmetric, zero-point 0 — SAME zero-padding stays exact):
+- weights: per-output-channel scales, ``q = round(k / s_w)`` in [-127, 127]
+- activations: dynamic per-tensor scale ``s_x = max|x| / 127`` computed on
+  the fly (a cheap fused reduction; no calibration pass or stored stats)
+- conv: int8 x int8 -> int32 accumulation on the MXU
+  (``preferred_element_type=int32``), dequantized in f32 in the epilogue:
+  ``y = acc * (s_x * s_w) + bias``
+
+Gate math / LayerNorm / softmax stay in f32 exactly as the bf16 path; only
+the conv MXU ops and their activation operands change width. Quantized
+param dicts are self-describing: the presence of ``kernel_q`` (convs) or
+``kernel_x_q`` (ConvLSTM cells) selects the int8 path in the model.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_DIMNUMS = ("NHWC", "HWIO", "NHWC")
+
+
+def quantize_weight(kernel: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """[kh,kw,cin,cout] float -> (int8 kernel, per-cout f32 scale)."""
+    k = kernel.astype(jnp.float32)
+    s = jnp.max(jnp.abs(k), axis=(0, 1, 2)) / 127.0
+    s = jnp.maximum(s, 1e-12)
+    q = jnp.clip(jnp.round(k / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def quantize_act(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Dynamic per-tensor symmetric quantization -> (int8 x, scalar f32 scale)."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def conv2d_q(x: jax.Array, qconv: Dict[str, jax.Array],
+             out_dtype=jnp.float32) -> jax.Array:
+    """NHWC int8 conv with f32 dequant epilogue.
+
+    ``qconv`` holds ``kernel_q`` int8 [kh,kw,cin,cout], ``w_scale`` f32
+    [cout], optional ``bias`` f32 [cout].
+    """
+    qx, s_x = quantize_act(x)
+    acc = jax.lax.conv_general_dilated(
+        qx, qconv["kernel_q"], (1, 1), "SAME",
+        dimension_numbers=_DIMNUMS,
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * (s_x * qconv["w_scale"])
+    bias = qconv.get("bias")
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(out_dtype)
+
+
+def _quantize_conv_dict(conv: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+    q, s = quantize_weight(conv["kernel"])
+    out = {"kernel_q": q, "w_scale": s,
+           "bias": conv["bias"].astype(jnp.float32)}
+    for k in ("ln_scale", "ln_bias"):  # LayerNorm stays f32
+        if k in conv:
+            out[k] = conv[k]
+    return out
+
+
+def _quantize_lstm_dict(cell: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+    qx, sx = quantize_weight(cell["kernel_x"])
+    qh, sh = quantize_weight(cell["kernel_h"])
+    return {"kernel_x_q": qx, "wx_scale": sx,
+            "kernel_h_q": qh, "wh_scale": sh,
+            "bias": cell["bias"].astype(jnp.float32)}
+
+
+def quantize_params_int8(params: Dict) -> Dict:
+    """ULSTMnet2D param tree (f32/bf16) -> int8 inference tree.
+
+    Mirrors the model structure from models/ulstm_unet.py::ULSTMnet2D.init:
+    encoder levels ({lstm: [...], convs: [...]}), decoder levels
+    ({convs: [...]}), head.
+    """
+    return {
+        "encoder": [
+            {"lstm": [_quantize_lstm_dict(c) for c in lvl["lstm"]],
+             "convs": [_quantize_conv_dict(c) for c in lvl["convs"]]}
+            for lvl in params["encoder"]
+        ],
+        "decoder": [
+            {"convs": [_quantize_conv_dict(c) for c in lvl["convs"]]}
+            for lvl in params["decoder"]
+        ],
+        "head": _quantize_conv_dict(params["head"]),
+    }

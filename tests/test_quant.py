@@ -1,0 +1,105 @@
+"""int8 quantized inference path (ops/quant.py).
+
+SEG-parity on the flagship model is gated on TPU (BASELINE.md); these tests
+pin the numerics and the end-to-end plumbing on CPU.
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lstm_unet_tpu.config import CTCInferenceParams, CTCParams, tiny_net_kernel_params
+from lstm_unet_tpu.models import ModelConfig, ULSTMnet2D
+from lstm_unet_tpu.ops.conv import conv2d, init_conv
+from lstm_unet_tpu.ops.quant import (
+    conv2d_q,
+    quantize_params_int8,
+    quantize_weight,
+)
+
+
+def test_quantize_weight_roundtrip(rng):
+    k = jnp.asarray(rng.normal(0, 0.1, (3, 3, 8, 16)).astype(np.float32))
+    q, s = quantize_weight(k)
+    assert q.dtype == jnp.int8 and s.shape == (16,)
+    deq = q.astype(jnp.float32) * s
+    # per-channel max error bounded by half a quantization step
+    err = np.abs(np.asarray(deq - k))
+    step = np.asarray(s)[None, None, None, :]
+    assert np.all(err <= 0.5 * step + 1e-9)
+
+
+def test_conv2d_q_matches_float_conv(rng):
+    x = jnp.asarray(rng.normal(0, 1.0, (2, 16, 16, 8)).astype(np.float32))
+    conv = init_conv(jax.random.PRNGKey(0), 3, 3, 8, 16)
+    q, s = quantize_weight(conv["kernel"])
+    y_ref = np.asarray(conv2d(x, conv["kernel"], conv["bias"]))
+    y_q = np.asarray(conv2d_q(
+        x, {"kernel_q": q, "w_scale": s, "bias": conv["bias"]}))
+    # int8 symmetric quantization: relative error on the order of 1/127
+    denom = max(np.abs(y_ref).max(), 1e-6)
+    assert np.abs(y_q - y_ref).max() / denom < 0.05
+
+
+def test_int8_model_step_close_to_f32():
+    cfg32 = ModelConfig.make(tiny_net_kernel_params())
+    cfg8 = ModelConfig.make(tiny_net_kernel_params(), quant="int8")
+    params = ULSTMnet2D.init(jax.random.PRNGKey(1), cfg32)
+    qparams = quantize_params_int8(params)
+    state = ULSTMnet2D.init_state(cfg32, 1, 16, 16)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 16, 1))
+    _, logits32 = ULSTMnet2D.step(params, state, x, cfg32)
+    _, logits8 = ULSTMnet2D.step(qparams, state, x, cfg8)
+    denom = max(float(jnp.abs(logits32).max()), 1e-6)
+    rel = float(jnp.abs(logits8 - logits32).max()) / denom
+    assert rel < 0.15, rel  # random weights, 2 ConvLSTM levels of error accum
+
+
+@pytest.fixture(scope="module")
+def trained_tiny(tmp_path_factory):
+    from lstm_unet_tpu.engine.train import Trainer
+    from lstm_unet_tpu.io.synthetic import write_ctc_dataset
+
+    root = str(tmp_path_factory.mktemp("ctc"))
+    write_ctc_dataset(root, num_frames=8, height=32, width=32, num_cells=3,
+                      seed=7)
+    p = CTCParams(
+        root_data_dir=root,
+        train_sequence_list=[("Synth-N2DH-SIM", "01")],
+        crop_size=(32, 32), batch_size=2, unroll_len=3,
+        net_kernel_params=tiny_net_kernel_params(), learning_rate=3e-3,
+        root_save_dir=str(tmp_path_factory.mktemp("runs")),
+        print_to_console_interval=50, validation_interval=10**6,
+        save_checkpoint_iteration=10**6, write_to_tb_interval=10**6)
+    t = Trainer(p, seed=0)
+    t.train(num_iterations=80)
+    return root, p.experiment_save_dir
+
+
+def test_int8_inference_end_to_end_seg_parity(trained_tiny, tmp_path):
+    """dtype='int8' streams end-to-end; instance masks agree with the f32
+    masks at the SEG level (the VERDICT r1 gate, here on the tiny model)."""
+    from lstm_unet_tpu.engine.infer import run_inference
+    from lstm_unet_tpu.io.tiff import read_tiff
+    from lstm_unet_tpu.metrics import seg_measure_sequence
+
+    root, ckpt = trained_tiny
+    seq = os.path.join(root, "Synth-N2DH-SIM", "01")
+    outs = {}
+    for dt in ("float32", "int8"):
+        ip = CTCInferenceParams(
+            model_path=ckpt, sequence_path=seq,
+            output_path=str(tmp_path / dt), min_cell_size=5,
+            pre_sequence_frames=1, dtype=dt)
+        n = run_inference(ip)
+        assert n == 8
+        outs[dt] = [read_tiff(p) for p in sorted(
+            glob.glob(str(tmp_path / dt / "mask*.tif")))]
+    # score int8 masks against f32 masks as pseudo-GT: near-perfect overlap
+    score = seg_measure_sequence(outs["float32"], outs["int8"])
+    assert score > 0.9, score
