@@ -68,6 +68,9 @@ class ModelConfig:
     # (ops/quant.py); everything else follows `dtype`. Inference-only —
     # params must be quantized via quantize_params_int8.
     quant: str = "none"
+    # decoder skip-concat convs as two channel-sliced convs summed (same
+    # math, no concat buffer / layout copy — the r1 split-gate-conv lesson)
+    split_skip_convs: bool = False
     # LSTM carry dtype: 'auto' follows `dtype`; 'float32' keeps (h, c) in f32
     # under bf16 compute — the cell state accumulates across an unbounded
     # stream, so drift matters for very long sequences (gate math always
@@ -116,10 +119,8 @@ def _apply_conv(x: jax.Array, conv: Dict[str, jax.Array]) -> jax.Array:
     return conv2d(x, conv["kernel"], conv["bias"])
 
 
-def _conv_block(x: jax.Array, conv: Dict[str, jax.Array],
-                cfg: "ModelConfig") -> jax.Array:
-    """conv → optional channel LayerNorm → activation."""
-    x = _apply_conv(x, conv)
+def _norm_act(x: jax.Array, conv: Dict[str, jax.Array],
+              cfg: "ModelConfig") -> jax.Array:
     if "ln_scale" in conv:
         x32 = x.astype(jnp.float32)
         mu = jnp.mean(x32, axis=-1, keepdims=True)
@@ -127,6 +128,36 @@ def _conv_block(x: jax.Array, conv: Dict[str, jax.Array],
         x = ((x32 - mu) * jax.lax.rsqrt(var + 1e-6) * conv["ln_scale"]
              + conv["ln_bias"]).astype(x.dtype)
     return activate(x, cfg.activation)
+
+
+def _conv_block(x: jax.Array, conv: Dict[str, jax.Array],
+                cfg: "ModelConfig") -> jax.Array:
+    """conv → optional channel LayerNorm → activation."""
+    return _norm_act(_apply_conv(x, conv), conv, cfg)
+
+
+def _conv_block_first_decoder(x, skip, conv, cfg):
+    if cfg.split_skip_convs:
+        return _conv_block_pair(x, skip, conv, cfg)
+    return _conv_block(jnp.concatenate([x, skip], axis=-1), conv, cfg)
+
+
+def _conv_block_pair(a: jax.Array, b: jax.Array, conv: Dict[str, jax.Array],
+                     cfg: "ModelConfig") -> jax.Array:
+    """``conv(concat([a, b]))`` as two channel-sliced convs summed — exactly
+    the same math, but no concat buffer and no layout copy of the skip
+    (the split-gate-convs lesson of r1, applied to the decoder; BASELINE.md).
+    """
+    if "kernel_q" in conv:
+        from ..ops.quant import conv2d_q_pair
+
+        y = conv2d_q_pair(a, b, conv, out_dtype=a.dtype)
+    else:
+        ca = a.shape[-1]
+        k = conv["kernel"]
+        y = (conv2d(a, k[:, :, :ca], conv["bias"])
+             + conv2d(b.astype(a.dtype), k[:, :, ca:]))
+    return _norm_act(y, conv, cfg)
 
 
 def cast_params_for_inference(params: Params, dtype) -> Params:
@@ -249,8 +280,9 @@ class ULSTMnet2D:
 
         for lvl in reversed(range(len(params["decoder"]))):
             x = upsample_2x(x, cfg.upsample)
-            x = jnp.concatenate([x, skips[lvl]], axis=-1)
-            for conv in params["decoder"][lvl]["convs"]:
+            convs = params["decoder"][lvl]["convs"]
+            x = _conv_block_first_decoder(x, skips[lvl], convs[0], cfg)
+            for conv in convs[1:]:
                 x = _conv_block(x, conv, cfg)
 
         logits = _apply_conv(x, params["head"])

@@ -73,11 +73,17 @@ class ConvLSTMCell:
         if "kernel_x_q" in params:  # int8-quantized cell (ops/quant.py)
             from .quant import conv2d_q
 
+            # gate pre-activations in the compute dtype (bf16): f32 gate
+            # outputs at 4F channels cost ~1 GB/step of blocked-layout
+            # copies on v5e (int8 HLO analysis, BASELINE.md); the bf16
+            # baseline computes gates in bf16 too, so this loses nothing
             gates = (conv2d_q(x, {"kernel_q": params["kernel_x_q"],
                                   "w_scale": params["wx_scale"],
-                                  "bias": params["bias"]})
+                                  "bias": params["bias"]},
+                              out_dtype=x.dtype)
                      + conv2d_q(h, {"kernel_q": params["kernel_h_q"],
-                                    "w_scale": params["wh_scale"]}))
+                                    "w_scale": params["wh_scale"]},
+                                out_dtype=x.dtype))
         else:
             gates = (conv2d(x, params["kernel_x"], params["bias"])
                      + conv2d(h.astype(x.dtype), params["kernel_h"]))

@@ -46,6 +46,12 @@ def quantize_act(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return q, s
 
 
+# int8 conv accumulator element type. int32 is the exact MXU-native choice;
+# f32 lets XLA fuse the dequant into the conv epilogue instead of
+# materializing an int32 intermediate (A/B'd on v5e — see BASELINE.md).
+ACC_DTYPE = jnp.int32
+
+
 def conv2d_q(x: jax.Array, qconv: Dict[str, jax.Array],
              out_dtype=jnp.float32) -> jax.Array:
     """NHWC int8 conv with f32 dequant epilogue.
@@ -57,9 +63,36 @@ def conv2d_q(x: jax.Array, qconv: Dict[str, jax.Array],
     acc = jax.lax.conv_general_dilated(
         qx, qconv["kernel_q"], (1, 1), "SAME",
         dimension_numbers=_DIMNUMS,
-        preferred_element_type=jnp.int32,
+        preferred_element_type=ACC_DTYPE,
     )
     y = acc.astype(jnp.float32) * (s_x * qconv["w_scale"])
+    bias = qconv.get("bias")
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(out_dtype)
+
+
+def conv2d_q_pair(a: jax.Array, b: jax.Array, qconv: Dict[str, jax.Array],
+                  out_dtype=jnp.float32) -> jax.Array:
+    """Quantized ``conv(concat([a, b]), W)`` as two channel-sliced convs.
+
+    Skips the concat materialization/layout copy, and each operand gets its
+    OWN per-tensor activation scale (strictly tighter than one shared scale
+    over the concat).
+    """
+    ca = a.shape[-1]
+    qa, s_a = quantize_act(a)
+    qb, s_b = quantize_act(b)
+    k = qconv["kernel_q"]
+    acc_a = jax.lax.conv_general_dilated(
+        qa, k[:, :, :ca], (1, 1), "SAME", dimension_numbers=_DIMNUMS,
+        preferred_element_type=ACC_DTYPE)
+    acc_b = jax.lax.conv_general_dilated(
+        qb, k[:, :, ca:], (1, 1), "SAME", dimension_numbers=_DIMNUMS,
+        preferred_element_type=ACC_DTYPE)
+    w = qconv["w_scale"]
+    y = (acc_a.astype(jnp.float32) * (s_a * w)
+         + acc_b.astype(jnp.float32) * (s_b * w))
     bias = qconv.get("bias")
     if bias is not None:
         y = y + bias.astype(jnp.float32)
