@@ -124,8 +124,7 @@ class StreamingInferenceEngine:
             # Stats come from the unpadded interior only (crop is static).
             def norm(f):  # [H,W,1] padded
                 inner = f[:oh, :ow].astype(jnp.float32).reshape(-1)
-                lo = jnp.percentile(inner, 1.0)
-                hi = jnp.percentile(inner, 99.0)
+                lo, hi = jnp.percentile(inner, jnp.array([1.0, 99.0]))  # one sort
                 return (f.astype(jnp.float32) - lo) / jnp.maximum(hi - lo, 1e-6)
 
             frame = jax.vmap(norm)(frame)

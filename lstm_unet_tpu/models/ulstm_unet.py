@@ -71,6 +71,10 @@ class ModelConfig:
     # decoder skip-concat convs as two channel-sliced convs summed (same
     # math, no concat buffer / layout copy — the r1 split-gate-conv lesson)
     split_skip_convs: bool = False
+    # whole-level fused ConvLSTM Pallas kernel for inference (levels whose
+    # shapes satisfy ops/pallas/convlstm_cell.supported; falls back to XLA
+    # elsewhere). Inference-only: it defines no VJP.
+    fused_cell: bool = False
     # LSTM carry dtype: 'auto' follows `dtype`; 'float32' keeps (h, c) in f32
     # under bf16 compute — the cell state accumulates across an unbounded
     # stream, so drift matters for very long sequences (gate math always
@@ -269,7 +273,8 @@ class ULSTMnet2D:
                 carry, x = ConvLSTMCell.apply(
                     cell, state[lvl][j], x,
                     recurrent_activation=cfg.recurrent_activation,
-                    use_pallas=cfg.use_pallas)
+                    use_pallas=cfg.use_pallas,
+                    fused_cell=cfg.fused_cell)
                 lvl_state.append(carry)
                 x = x.astype(dt)  # carry may be f32 (state_dtype='float32')
             for conv in level["convs"]:

@@ -67,9 +67,40 @@ class ConvLSTMCell:
     @staticmethod
     def apply(params: Dict[str, jax.Array], carry: Carry, x: jax.Array, *,
               recurrent_activation: str = "sigmoid",
-              use_pallas: bool = True) -> Tuple[Carry, jax.Array]:
-        """One timestep: ((h,c), x[B,H,W,Cin]) -> ((h',c'), h')."""
+              use_pallas: bool = True,
+              fused_cell: bool = False) -> Tuple[Carry, jax.Array]:
+        """One timestep: ((h,c), x[B,H,W,Cin]) -> ((h',c'), h').
+
+        ``fused_cell=True`` routes through the whole-level Pallas kernel
+        (ops/pallas/convlstm_cell.py) when its shape/VMEM constraints hold:
+        the recurrent conv + gate math run VMEM-resident, so the 4F gate
+        tensor and its blocked-layout copies never hit HBM.
+        """
         h, c = carry
+        if fused_cell:
+            from .pallas.convlstm_cell import fused_convlstm_level, supported
+
+            quantized = "kernel_x_q" in params
+            kh_, kw_, feat = (params["kernel_h_q"].shape[:2] + (c.shape[-1],)
+                              if quantized else
+                              params["kernel_h"].shape[:2] + (c.shape[-1],))
+            if supported(x.shape[1], x.shape[2], feat, kh_, kw_, x.shape[0]):
+                if quantized:
+                    from .quant import conv2d_q
+
+                    gx = conv2d_q(x, {"kernel_q": params["kernel_x_q"],
+                                      "w_scale": params["wx_scale"],
+                                      "bias": params["bias"]},
+                                  out_dtype=x.dtype)
+                    wh = (params["kernel_h_q"].astype(x.dtype)
+                          * params["wh_scale"].astype(x.dtype))
+                else:
+                    gx = conv2d(x, params["kernel_x"], params["bias"])
+                    wh = params["kernel_h"].astype(x.dtype)
+                h_new, c_new = fused_convlstm_level(
+                    gx[0], h[0], c[0], wh,
+                    recurrent_activation=recurrent_activation)
+                return (h_new[None], c_new[None]), h_new[None]
         if "kernel_x_q" in params:  # int8-quantized cell (ops/quant.py)
             from .quant import conv2d_q
 

@@ -146,6 +146,9 @@ def postprocess_frame(
         ].add(1)
         keep_mask = (touches > 0).at[0].set(False)
         lbl = jnp.where(keep_mask[lbl.reshape(-1)].reshape(h, w), lbl, 0)
-
-    lbl, _ = relabel_compact(lbl)
+        # FOV dropped labels -> renumber. When fov == 0 the labels are
+        # already compact 1..N from the min-size pass (growth adds no ids),
+        # so the second full scatter+cumsum pass is skipped — measured
+        # ~2 ms/frame @512^2 on v5e (BASELINE.md postprocess breakdown).
+        lbl, _ = relabel_compact(lbl)
     return lbl

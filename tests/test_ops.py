@@ -233,6 +233,40 @@ def test_dilate_mode_leaves_band_center_unlabeled():
     assert np.all(lab[:, 6:9] == 0)
 
 
+def test_fused_convlstm_cell_matches_xla():
+    """Whole-level fused Pallas ConvLSTM (interpret mode on CPU) == XLA
+    path, float and int8-quantized params (ops/pallas/convlstm_cell.py)."""
+    from lstm_unet_tpu.ops.convlstm import ConvLSTMCell
+    from lstm_unet_tpu.ops.quant import quantize_weight
+
+    cell = ConvLSTMCell.init(jax.random.PRNGKey(0), 5, 1, 128)
+    state = ConvLSTMCell.init_state(1, 16, 128, 128)
+    state = (state[0] + 0.3, state[1] - 0.2)  # nonzero carry
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 128, 1))
+    (h1, c1), _ = ConvLSTMCell.apply(cell, state, x, use_pallas=False)
+    (h2, c2), _ = ConvLSTMCell.apply(cell, state, x, use_pallas=False,
+                                     fused_cell=True)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=2e-5)
+
+    qx, sx = quantize_weight(cell["kernel_x"])
+    qh, sh = quantize_weight(cell["kernel_h"])
+    qcell = {"kernel_x_q": qx, "wx_scale": sx, "kernel_h_q": qh,
+             "wh_scale": sh, "bias": cell["bias"]}
+    (h3, c3), _ = ConvLSTMCell.apply(qcell, state, x, use_pallas=False)
+    (h4, c4), _ = ConvLSTMCell.apply(qcell, state, x, use_pallas=False,
+                                     fused_cell=True)
+    # both int8 paths quantize identically; the only delta is conv order
+    np.testing.assert_allclose(np.asarray(h3), np.asarray(h4), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(c3), np.asarray(c4), atol=5e-3)
+    # unsupported shape (W not a multiple of 128) falls back to XLA
+    state5 = ConvLSTMCell.init_state(1, 16, 64, 128)
+    x5 = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 64, 1))
+    (h5, c5), _ = ConvLSTMCell.apply(cell, state5, x5, use_pallas=False,
+                                     fused_cell=True)
+    assert h5.shape == (1, 16, 64, 128)
+
+
 def test_pallas_ccl_matches_xla(monkeypatch, rng):
     """Pallas CCL (interpret mode on CPU) == XLA min-propagation twin."""
     import lstm_unet_tpu.ops.pallas.lstm_gates as lg
