@@ -74,17 +74,25 @@ def connected_components(mask: jax.Array, connectivity: int = 8,
     return jnp.where(mask, lbl, 0).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("min_size", "max_size"))
-def relabel_compact(labels: jax.Array, min_size: int = 0, max_size: int = 0
-                    ) -> Tuple[jax.Array, jax.Array]:
+@functools.partial(jax.jit, static_argnames=("min_size", "max_size",
+                                             "num_bins"))
+def relabel_compact(labels: jax.Array, min_size: int = 0, max_size: int = 0,
+                    num_bins: int = 0) -> Tuple[jax.Array, jax.Array]:
     """Compact sparse labels to 1..N (raster order), dropping size outliers.
 
     Reference parity: the `min_cell_size` filter of Inference2D.py [M].
     Returns (compact_labels int32 [H,W], num_components int32 scalar).
+
+    ``num_bins`` bounds the histogram when the caller KNOWS labels are
+    already compact (e.g. ≤65535 instances, the uint16 output contract) —
+    shrinks the scatter table and cumsum from h*w+1 to num_bins.
     """
     h, w = labels.shape
-    n = h * w + 1
-    counts = jnp.zeros((n,), jnp.int32).at[labels.reshape(-1)].add(1)
+    n = num_bins or (h * w + 1)
+    idx = labels.reshape(-1)
+    if num_bins:
+        idx = jnp.minimum(idx, n - 1)  # OOB-safe; caller guarantees range
+    counts = jnp.zeros((n,), jnp.int32).at[idx].add(1)
     keep = counts > 0
     keep = keep.at[0].set(False)
     if min_size:
@@ -92,5 +100,5 @@ def relabel_compact(labels: jax.Array, min_size: int = 0, max_size: int = 0
     if max_size:
         keep &= counts <= max_size
     new_ids = jnp.cumsum(keep.astype(jnp.int32)) * keep  # 0 where dropped
-    out = new_ids[labels.reshape(-1)].reshape(h, w).astype(jnp.int32)
+    out = new_ids[idx].reshape(h, w).astype(jnp.int32)
     return out, jnp.max(new_ids).astype(jnp.int32)
