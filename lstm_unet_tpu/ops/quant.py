@@ -38,12 +38,18 @@ def quantize_weight(kernel: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return q, s
 
 
-def quantize_act(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """Dynamic per-tensor symmetric quantization -> (int8 x, scalar f32 scale)."""
+def quantize_act(x: jax.Array, scale: Optional[jax.Array] = None
+                 ) -> Tuple[jax.Array, jax.Array]:
+    """Per-tensor symmetric quantization -> (int8 x, scalar f32 scale).
+
+    ``scale=None`` computes the scale dynamically (max|x|/127); a provided
+    scale (e.g. from calibration) skips the reduction pass.
+    """
     xf = x.astype(jnp.float32)
-    s = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) / 127.0
-    q = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
-    return q, s
+    if scale is None:
+        scale = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
 
 
 # int8 conv accumulator element type. int32 is the exact MXU-native choice;
@@ -57,9 +63,10 @@ def conv2d_q(x: jax.Array, qconv: Dict[str, jax.Array],
     """NHWC int8 conv with f32 dequant epilogue.
 
     ``qconv`` holds ``kernel_q`` int8 [kh,kw,cin,cout], ``w_scale`` f32
-    [cout], optional ``bias`` f32 [cout].
+    [cout], optional ``bias`` f32 [cout], optional static ``x_scale``
+    (calibrated input scale — skips the dynamic abs-max pass).
     """
-    qx, s_x = quantize_act(x)
+    qx, s_x = quantize_act(x, qconv.get("x_scale"))
     acc = jax.lax.conv_general_dilated(
         qx, qconv["kernel_q"], (1, 1), "SAME",
         dimension_numbers=_DIMNUMS,
