@@ -36,9 +36,16 @@ from ..parallel import make_mesh, shard_batch
 from ..utils import log_print
 from .loss import weighted_ce_loss
 
+from ..io.grain_reader import GrainCTCReaderSequence2D
+
 # data-provider registry (reference: Params.data_provider_class names the
 # reader class to instantiate [M]); extendable by downstream users
-DATA_PROVIDERS = {"CTCRAMReaderSequence2D": CTCRAMReaderSequence2D}
+DATA_PROVIDERS = {
+    "CTCRAMReaderSequence2D": CTCRAMReaderSequence2D,
+    # deterministic grain pipeline: batch(step) is a pure function of
+    # (seed, step) — resumable mid-stream on continue_run
+    "GrainCTCReaderSequence2D": GrainCTCReaderSequence2D,
+}
 
 
 def make_train_step(cfg: ModelConfig, optimizer: optax.GradientTransformation,
@@ -259,6 +266,10 @@ class Trainer:
     def train(self, num_iterations: Optional[int] = None) -> Dict[str, float]:
         p = self.p
         n_iter = num_iterations if num_iterations is not None else p.num_iterations
+        if hasattr(self.reader, "set_start_step"):
+            # deterministic providers resume the input stream exactly where
+            # the restored checkpoint left off (continue_run)
+            self.reader.set_start_step(self.global_step)
         self.reader.start_queues()
         if self.val_reader:
             self.val_reader.start_queues()
