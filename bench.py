@@ -33,13 +33,17 @@ import jax.numpy as jnp
 CPU_BASELINE_FPS = 0.0297
 
 
-def build_pipeline(size: int, dtype: str, tiny: bool):
+def build_pipeline(size: int, dtype: str, tiny: bool, fused_cell: bool = False):
     from lstm_unet_tpu.config import default_net_kernel_params, tiny_net_kernel_params
     from lstm_unet_tpu.models import ModelConfig, ULSTMnet2D
     from lstm_unet_tpu.ops.postprocess import postprocess_frame
 
     nkp = tiny_net_kernel_params() if tiny else default_net_kernel_params()
-    cfg = ModelConfig.make(nkp, dtype=dtype)
+    # 'int8': conv MXU ops int8xint8->int32 with dequant epilogues, bf16
+    # elsewhere (ops/quant.py) — same mapping as engine.infer.load_model
+    quant = "int8" if dtype == "int8" else "none"
+    cfg = ModelConfig.make(nkp, dtype="bfloat16" if dtype == "int8" else dtype,
+                           quant=quant, fused_cell=fused_cell)
     params = ULSTMnet2D.init(jax.random.PRNGKey(0), cfg)
     state = ULSTMnet2D.init_state(cfg, 1, size, size)
 
@@ -52,12 +56,17 @@ def build_pipeline(size: int, dtype: str, tiny: bool):
                                    min_cell_size=10, grow_iters=3)
         return new_state, labels
 
-    from lstm_unet_tpu.models.ulstm_unet import cast_params_for_inference
-
     jitted = jax.jit(step, donate_argnums=(1,))
-    # pre-cast weights once (same helper the inference engine uses)
-    params = jax.device_put(
-        cast_params_for_inference(params, cfg.compute_dtype))
+    # pre-cast/quantize weights once (same helpers the inference engine uses)
+    if cfg.quant == "int8":
+        from lstm_unet_tpu.ops.quant import quantize_params_int8
+
+        params = jax.device_put(quantize_params_int8(params))
+    else:
+        from lstm_unet_tpu.models.ulstm_unet import cast_params_for_inference
+
+        params = jax.device_put(
+            cast_params_for_inference(params, cfg.compute_dtype))
     return (lambda state, frame: jitted(params, state, frame)), state
 
 
@@ -115,17 +124,21 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=32)
     ap.add_argument("--size", type=int, default=512)
-    ap.add_argument("--dtype", type=str, default="bfloat16")
+    ap.add_argument("--dtype", type=str, default="bfloat16",
+                    choices=["float32", "bfloat16", "int8"])
+    ap.add_argument("--fused_cell", action="store_true")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--mode", choices=["infer", "train"], default="infer")
     args = ap.parse_args()
 
     if args.mode == "train":
-        bench_train(256 if args.size == 512 else args.size, args.dtype,
+        bench_train(256 if args.size == 512 else args.size,
+                    "bfloat16" if args.dtype == "int8" else args.dtype,
                     args.tiny)
         return
 
-    step, state = build_pipeline(args.size, args.dtype, args.tiny)
+    step, state = build_pipeline(args.size, args.dtype, args.tiny,
+                                 args.fused_cell)
     frames = make_frames(min(args.frames, 16), args.size)
     dev_frames = [jax.device_put(jnp.asarray(f)) for f in frames]
 

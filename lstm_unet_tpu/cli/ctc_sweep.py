@@ -56,6 +56,9 @@ def main(argv=None) -> None:
     ap.add_argument("--dtype", type=str, default="bfloat16")
     ap.add_argument("--state_dtype", type=str, default="auto",
                     choices=["auto", "float32", "bfloat16"])
+    ap.add_argument("--fused_cell", action="store_true",
+                    help="whole-level fused ConvLSTM Pallas kernel where "
+                         "shapes allow (inference-only)")
     ap.add_argument("--max_batch", type=int, default=4)
     ap.add_argument("--score_seg", action="store_true",
                     help="after the sweep, score SEG against <seq>_GT/SEG "
@@ -68,9 +71,11 @@ def main(argv=None) -> None:
         edge_thresh=args.edge_thresh, boundary_growth=args.boundary_growth,
         grow_iters=args.grow_iters,
         pre_sequence_frames=args.pre_sequence_frames,
-        dtype=args.dtype, state_dtype=args.state_dtype)
+        dtype=args.dtype, state_dtype=args.state_dtype,
+        fused_cell=args.fused_cell)
     params, cfg = load_model(args.model_path, dtype=args.dtype,
-                             state_dtype=args.state_dtype)
+                             state_dtype=args.state_dtype,
+                             fused_cell=args.fused_cell)
 
     groups = defaultdict(list)  # frame shape -> [(n_frames, seq_dir, out_dir)]
     for ds, seq, seq_dir in find_sequences(args.root_data_dir):

@@ -38,6 +38,9 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["float32", "bfloat16", "int8"])
     ap.add_argument("--state_dtype", type=str,
                     choices=["auto", "float32", "bfloat16"])
+    ap.add_argument("--fused_cell", action="store_true", default=None,
+                    help="whole-level fused ConvLSTM Pallas kernel where "
+                         "shapes allow (inference-only)")
     ap.add_argument("--digit_4", action="store_true", default=None)
     return ap
 

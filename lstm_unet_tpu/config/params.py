@@ -325,6 +325,9 @@ class CTCInferenceParams(ParamsBase):
     dtype: str = "bfloat16"
     state_dtype: str = "auto"      # 'float32': f32 LSTM carry for unbounded
                                    # streams under bf16 compute
+    # whole-level fused ConvLSTM Pallas kernel where shapes allow
+    # (ops/pallas/convlstm_cell.py); inference-only
+    fused_cell: bool = False
     digit_4: bool = False          # True → mask%04d.tif (long sequences, e.g. PSC)
     # multi-chip streaming (no reference analog): 'data' shards batched
     # sequences, 'spatial' shards frame height (XLA inserts conv halos)

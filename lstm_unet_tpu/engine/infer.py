@@ -39,7 +39,8 @@ from ..utils import log_print
 
 
 def load_model(model_path: str, dtype: Optional[str] = None,
-               state_dtype: Optional[str] = None) -> Tuple[Any, ModelConfig]:
+               state_dtype: Optional[str] = None,
+               fused_cell: Optional[bool] = None) -> Tuple[Any, ModelConfig]:
     """Rebuild model from model_params.json + orbax ckpt (reference: pickled
     arch + tf Checkpoint.restore [M])."""
     arch = load_model_params(model_path)
@@ -51,6 +52,8 @@ def load_model(model_path: str, dtype: Optional[str] = None,
         cfg_kw["dtype"] = dtype
     if state_dtype is not None:
         cfg_kw["state_dtype"] = state_dtype
+    if fused_cell is not None:
+        cfg_kw["fused_cell"] = fused_cell
     cfg = ModelConfig(**cfg_kw)
     # init abstractly to get the param tree structure, then restore real values
     abstract = jax.eval_shape(
@@ -330,7 +333,8 @@ def run_inference_batched(ip: CTCInferenceParams, sequence_paths, output_paths,
     """
     if params is None or cfg is None:
         params, cfg = load_model(ip.model_path, dtype=ip.dtype,
-                                 state_dtype=getattr(ip, "state_dtype", None))
+                                 state_dtype=getattr(ip, "state_dtype", None),
+                                 fused_cell=getattr(ip, "fused_cell", None))
     engine = StreamingInferenceEngine(params, cfg, ip)
     readers = [
         CTCInferenceReader(sp, ip.filename_format, ip.pre_sequence_frames,
@@ -407,7 +411,8 @@ def run_inference(ip: CTCInferenceParams) -> int:
     probability maps when ``save_intermediate``.
     """
     params, cfg = load_model(ip.model_path, dtype=ip.dtype,
-                                 state_dtype=getattr(ip, "state_dtype", None))
+                                 state_dtype=getattr(ip, "state_dtype", None),
+                                 fused_cell=getattr(ip, "fused_cell", None))
     engine = StreamingInferenceEngine(params, cfg, ip)
     # raw frames: normalization runs on device inside the jitted step;
     # decode happens on a prefetch thread, overlapped with device compute

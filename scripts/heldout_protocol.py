@@ -1,0 +1,67 @@
+"""Held-out generalization protocol (VERDICT r1 task #3; SURVEY.md §8.5).
+
+The build environment has zero egress, so real CTC datasets (Fluo-N2DH-SIM+,
+DIC-C2DH-HeLa, PhC-C2DL-PSC) cannot be downloaded; the honest substitute for
+a generalization claim is a *held-out synthetic* protocol: train on one set
+of synthetic sequences, score SEG on sequences drawn with DIFFERENT seeds and
+a SHIFTED distribution (cell count and radius scale) that the model never
+saw. Same-data train/eval (the r1 SEG 0.8317 headline) only proves capability.
+
+Usage:
+    python scripts/heldout_protocol.py gen --root /tmp/heldout
+    python -m lstm_unet_tpu.cli.train2d --root_data_dir /tmp/heldout/train ...
+    python -m lstm_unet_tpu.cli.ctc_sweep --model_path <ckpt> \
+        --root_data_dir /tmp/heldout/eval --output_root ... --score_seg
+
+Train distribution: seeds {1,2} (train) / {3} (val), 30 cells, radius 1.0.
+Held-out distribution: seeds {101,102,103}, 20/35/45 cells, radius
+0.8/1.0/1.2 — unseen seeds AND a shifted density/size distribution.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from lstm_unet_tpu.io.synthetic import write_ctc_dataset
+
+SIZE = 512
+DATASET = "Synth-N2DH-SIM"
+
+TRAIN = [  # (seq, seed, num_cells, radius_scale, frames)
+    ("01", 1, 30, 1.0, 100),
+    ("02", 2, 30, 1.0, 100),
+    ("03", 3, 30, 1.0, 40),  # validation
+]
+HELDOUT = [
+    ("01", 101, 20, 0.8, 40),
+    ("02", 102, 35, 1.0, 40),
+    ("03", 103, 45, 1.2, 40),
+]
+
+
+def gen(root: str) -> None:
+    for seq, seed, n, rs, frames in TRAIN:
+        write_ctc_dataset(os.path.join(root, "train"), dataset=DATASET,
+                          seq=seq, num_frames=frames, height=SIZE, width=SIZE,
+                          num_cells=n, seed=seed, radius_scale=rs)
+        print(f"train/{DATASET}/{seq}: seed={seed} cells={n} rs={rs} T={frames}")
+    for seq, seed, n, rs, frames in HELDOUT:
+        write_ctc_dataset(os.path.join(root, "eval"), dataset=DATASET,
+                          seq=seq, num_frames=frames, height=SIZE, width=SIZE,
+                          num_cells=n, seed=seed, radius_scale=rs)
+        print(f"eval/{DATASET}/{seq}: seed={seed} cells={n} rs={rs} T={frames}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    g = sub.add_parser("gen")
+    g.add_argument("--root", type=str, required=True)
+    args = ap.parse_args()
+    if args.cmd == "gen":
+        gen(args.root)
+
+
+if __name__ == "__main__":
+    main()
