@@ -33,7 +33,8 @@ import jax.numpy as jnp
 CPU_BASELINE_FPS = 0.0297
 
 
-def build_pipeline(size: int, dtype: str, tiny: bool, fused_cell: bool = False):
+def build_pipeline(size: int, dtype: str, tiny: bool, fused_cell: bool = False,
+                   calibrated: bool = False):
     from lstm_unet_tpu.config import default_net_kernel_params, tiny_net_kernel_params
     from lstm_unet_tpu.models import ModelConfig, ULSTMnet2D
     from lstm_unet_tpu.ops.postprocess import postprocess_frame
@@ -61,7 +62,18 @@ def build_pipeline(size: int, dtype: str, tiny: bool, fused_cell: bool = False):
     if cfg.quant == "int8":
         from lstm_unet_tpu.ops.quant import quantize_params_int8
 
-        params = jax.device_put(quantize_params_int8(params))
+        act_scales = None
+        if calibrated:
+            # static activation scales from a short float-model pass over
+            # the same synthetic distribution (engine.infer calibration)
+            from lstm_unet_tpu.engine.infer import calibrate_act_scales
+            from lstm_unet_tpu.io.synthetic import make_cell_sequence
+
+            imgs, _ = make_cell_sequence(num_frames=4, height=size,
+                                         width=size, num_cells=40, seed=7)
+            act_scales = calibrate_act_scales(
+                params, cfg, [f.astype(np.float32) for f in imgs])
+        params = jax.device_put(quantize_params_int8(params, act_scales))
     else:
         from lstm_unet_tpu.models.ulstm_unet import cast_params_for_inference
 
@@ -127,6 +139,8 @@ def main():
     ap.add_argument("--dtype", type=str, default="bfloat16",
                     choices=["float32", "bfloat16", "int8"])
     ap.add_argument("--fused_cell", action="store_true")
+    ap.add_argument("--calibrated", action="store_true",
+                    help="int8 with precalibrated static activation scales")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--mode", choices=["infer", "train"], default="infer")
     args = ap.parse_args()
@@ -138,7 +152,7 @@ def main():
         return
 
     step, state = build_pipeline(args.size, args.dtype, args.tiny,
-                                 args.fused_cell)
+                                 args.fused_cell, args.calibrated)
     frames = make_frames(min(args.frames, 16), args.size)
     dev_frames = [jax.device_put(jnp.asarray(f)) for f in frames]
 

@@ -63,7 +63,21 @@ def main(argv=None) -> None:
     ap.add_argument("--score_seg", action="store_true",
                     help="after the sweep, score SEG against <seq>_GT/SEG "
                          "ground truth where present")
+    ap.add_argument("--calibrate", type=int, default=0, metavar="N",
+                    help="first calibrate int8 activation scales on the "
+                         "first N frames of the first sequence (writes "
+                         "act_scales.json into --model_path)")
     args = ap.parse_args(argv)
+
+    if args.calibrate:
+        from ..engine.infer import calibrate_model_dir
+
+        first = next(iter(find_sequences(args.root_data_dir)), None)
+        if first is None:
+            raise FileNotFoundError(
+                f"no CTC sequences under {args.root_data_dir}")
+        calibrate_model_dir(args.model_path, first[2],
+                            n_frames=args.calibrate)
 
     ip = CTCInferenceParams(
         model_path=args.model_path, min_cell_size=args.min_cell_size,

@@ -42,13 +42,24 @@ def build_parser() -> argparse.ArgumentParser:
                     help="whole-level fused ConvLSTM Pallas kernel where "
                          "shapes allow (inference-only)")
     ap.add_argument("--digit_4", action="store_true", default=None)
+    ap.add_argument("--calibrate", type=int, default=0, metavar="N",
+                    help="first calibrate int8 activation scales on the "
+                         "sequence's first N frames (writes act_scales.json "
+                         "into --model_path; later int8 runs reuse it)")
     return ap
 
 
 def main(argv=None) -> None:
     args = vars(build_parser().parse_args(argv))
+    calibrate = args.pop("calibrate")
     params = CTCInferenceParams()
     params.override(**args)
+    if calibrate:
+        from ..engine.infer import calibrate_model_dir
+
+        calibrate_model_dir(params.model_path, params.sequence_path,
+                            n_frames=calibrate,
+                            filename_format=params.filename_format)
     run_inference(params)
 
 

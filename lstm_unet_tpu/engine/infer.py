@@ -18,11 +18,13 @@ OpenCV pass per frame — SURVEY.md §3.2 note):
 
 from __future__ import annotations
 
+import dataclasses
 import functools
+import json
 import os
 import queue
 import threading
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -63,6 +65,82 @@ def load_model(model_path: str, dtype: Optional[str] = None,
     return params, cfg
 
 
+ACT_SCALES_FILE = "act_scales.json"
+
+
+def calibrate_act_scales(params, cfg: ModelConfig, frames: List[np.ndarray],
+                         ) -> Dict[str, float]:
+    """Per-conv-site activation absmax over calibration frames (int8 path).
+
+    Runs the FLOAT model (quant disabled, same topology/split settings)
+    statefully over ``frames`` (raw [H,W], percentile-normalized here the
+    same way the streaming step normalizes) and returns the running max of
+    every conv input site — the static scales that replace the per-frame
+    dynamic abs-max reduction in ops/quant.py. One-time cost; persist with
+    ``save_act_scales`` next to the checkpoint.
+    """
+    from ..io.preprocess import percentile_normalize_np
+    from ..models.ulstm_unet import cast_params_for_inference
+
+    fcfg = dataclasses.replace(cfg, quant="none")
+
+    @jax.jit
+    def cstep(params, state, frame):
+        collect: Dict[str, jax.Array] = {}
+        new_state, _ = ULSTMnet2D.step(params, state, frame, fcfg,
+                                       collect_scales=collect)
+        return new_state, collect
+
+    h, w = frames[0].shape
+    mult = 2 ** cfg.nkp.depth
+    params_dev = jax.device_put(
+        cast_params_for_inference(params, fcfg.compute_dtype))
+    state = ULSTMnet2D.init_state(fcfg, 1, h + (-h) % mult, w + (-w) % mult)
+    running: Dict[str, float] = {}
+    for f in frames:
+        x, _ = pad_to_multiple(percentile_normalize_np(f), mult)
+        state, collected = cstep(params_dev, state,
+                                 jnp.asarray(x, jnp.float32)[None, ..., None])
+        for k, v in collected.items():
+            running[k] = max(running.get(k, 0.0), float(v))
+    return running
+
+
+def save_act_scales(model_path: str, scales: Dict[str, float]) -> str:
+    path = os.path.join(model_path, ACT_SCALES_FILE)
+    with open(path, "w") as f:
+        json.dump(scales, f, indent=2, sort_keys=True)
+    return path
+
+
+def load_act_scales(model_path: str) -> Optional[Dict[str, float]]:
+    path = os.path.join(model_path, ACT_SCALES_FILE)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def calibrate_model_dir(model_path: str, sequence_path: str,
+                        n_frames: int = 8,
+                        filename_format: str = "t*.tif") -> str:
+    """One-shot calibration: first ``n_frames`` of a sequence -> act_scales.json
+    in the model dir (picked up automatically by every later int8 run)."""
+    params, cfg = load_model(model_path)  # float, as trained
+    reader = CTCInferenceReader(sequence_path, filename_format,
+                                pre_sequence_frames=0, normalize=False)
+    frames = []
+    for _, frame in reader:
+        frames.append(frame)
+        if len(frames) >= n_frames:
+            break
+    scales = calibrate_act_scales(params, cfg, frames)
+    path = save_act_scales(model_path, scales)
+    log_print(f"calibrated {len(scales)} activation sites over "
+              f"{len(frames)} frames -> {path}")
+    return path
+
+
 class StreamingInferenceEngine:
     """Stateful O(1)-memory streaming over arbitrarily long sequences.
 
@@ -80,6 +158,9 @@ class StreamingInferenceEngine:
         self._step = None
         self._state = None
         self._shape = None
+        # calibrated int8 activation scales, when saved next to the ckpt
+        self._act_scales = (load_act_scales(ip.model_path)
+                            if cfg.quant == "int8" and ip.model_path else None)
         self.mesh = None
         if getattr(ip, "mesh_shape", None):
             from ..parallel import make_mesh
@@ -98,7 +179,7 @@ class StreamingInferenceEngine:
         if self.cfg.quant == "int8":
             from ..ops.quant import quantize_params_int8
 
-            return quantize_params_int8(params)
+            return quantize_params_int8(params, self._act_scales)
         from ..models.ulstm_unet import cast_params_for_inference
 
         return cast_params_for_inference(params, self.cfg.compute_dtype)

@@ -114,8 +114,17 @@ def _maybe_add_norm(conv_params: Dict[str, jax.Array], filters: int,
     return conv_params
 
 
-def _apply_conv(x: jax.Array, conv: Dict[str, jax.Array]) -> jax.Array:
+def _collect(collect: Dict[str, jax.Array] | None, site: str, x: jax.Array):
+    """Record max|x| for int8 activation-scale calibration (ops/quant.py)."""
+    if collect is not None:
+        collect[site] = jnp.max(jnp.abs(x.astype(jnp.float32)))
+
+
+def _apply_conv(x: jax.Array, conv: Dict[str, jax.Array],
+                collect: Dict[str, jax.Array] | None = None,
+                site: str = "") -> jax.Array:
     """Dispatch float vs int8-quantized conv (param dicts self-describe)."""
+    _collect(collect, site, x)
     if "kernel_q" in conv:
         from ..ops.quant import conv2d_q
 
@@ -135,23 +144,30 @@ def _norm_act(x: jax.Array, conv: Dict[str, jax.Array],
 
 
 def _conv_block(x: jax.Array, conv: Dict[str, jax.Array],
-                cfg: "ModelConfig") -> jax.Array:
+                cfg: "ModelConfig",
+                collect: Dict[str, jax.Array] | None = None,
+                site: str = "") -> jax.Array:
     """conv → optional channel LayerNorm → activation."""
-    return _norm_act(_apply_conv(x, conv), conv, cfg)
+    return _norm_act(_apply_conv(x, conv, collect, site), conv, cfg)
 
 
-def _conv_block_first_decoder(x, skip, conv, cfg):
+def _conv_block_first_decoder(x, skip, conv, cfg, collect=None, site=""):
     if cfg.split_skip_convs:
-        return _conv_block_pair(x, skip, conv, cfg)
-    return _conv_block(jnp.concatenate([x, skip], axis=-1), conv, cfg)
+        return _conv_block_pair(x, skip, conv, cfg, collect, site)
+    return _conv_block(jnp.concatenate([x, skip], axis=-1), conv, cfg,
+                       collect, site)
 
 
 def _conv_block_pair(a: jax.Array, b: jax.Array, conv: Dict[str, jax.Array],
-                     cfg: "ModelConfig") -> jax.Array:
+                     cfg: "ModelConfig",
+                     collect: Dict[str, jax.Array] | None = None,
+                     site: str = "") -> jax.Array:
     """``conv(concat([a, b]))`` as two channel-sliced convs summed — exactly
     the same math, but no concat buffer and no layout copy of the skip
     (the split-gate-convs lesson of r1, applied to the decoder; BASELINE.md).
     """
+    _collect(collect, site + ".a", a)
+    _collect(collect, site + ".b", b)
     if "kernel_q" in conv:
         from ..ops.quant import conv2d_q_pair
 
@@ -259,9 +275,15 @@ class ULSTMnet2D:
     # -- forward ------------------------------------------------------------
 
     @staticmethod
-    def step(params: Params, state: State, frame: jax.Array, cfg: ModelConfig
+    def step(params: Params, state: State, frame: jax.Array, cfg: ModelConfig,
+             collect_scales: Dict[str, jax.Array] | None = None
              ) -> Tuple[State, jax.Array]:
-        """One frame: ([B,H,W,C]) → (new_state, logits [B,H,W,num_classes])."""
+        """One frame: ([B,H,W,C]) → (new_state, logits [B,H,W,num_classes]).
+
+        ``collect_scales``: a dict the caller owns; when given, every conv
+        site records max|input| into it under a stable site key — the int8
+        activation-scale calibration pass (ops/quant.py, engine.infer).
+        """
         dt = cfg.compute_dtype
         x = frame.astype(dt)
         new_state: State = []
@@ -270,6 +292,9 @@ class ULSTMnet2D:
         for lvl, level in enumerate(params["encoder"]):
             lvl_state = []
             for j, cell in enumerate(level["lstm"]):
+                _collect(collect_scales, f"encoder/{lvl}/lstm/{j}/x", x)
+                _collect(collect_scales, f"encoder/{lvl}/lstm/{j}/h",
+                         state[lvl][j][0])
                 carry, x = ConvLSTMCell.apply(
                     cell, state[lvl][j], x,
                     recurrent_activation=cfg.recurrent_activation,
@@ -277,8 +302,9 @@ class ULSTMnet2D:
                     fused_cell=cfg.fused_cell)
                 lvl_state.append(carry)
                 x = x.astype(dt)  # carry may be f32 (state_dtype='float32')
-            for conv in level["convs"]:
-                x = _conv_block(x, conv, cfg)
+            for j, conv in enumerate(level["convs"]):
+                x = _conv_block(x, conv, cfg, collect_scales,
+                                f"encoder/{lvl}/convs/{j}")
             skips.append(x)
             new_state.append(lvl_state)
             x = max_pool_2x2(x)
@@ -286,11 +312,14 @@ class ULSTMnet2D:
         for lvl in reversed(range(len(params["decoder"]))):
             x = upsample_2x(x, cfg.upsample)
             convs = params["decoder"][lvl]["convs"]
-            x = _conv_block_first_decoder(x, skips[lvl], convs[0], cfg)
-            for conv in convs[1:]:
-                x = _conv_block(x, conv, cfg)
+            x = _conv_block_first_decoder(x, skips[lvl], convs[0], cfg,
+                                          collect_scales,
+                                          f"decoder/{lvl}/convs/0")
+            for j, conv in enumerate(convs[1:], start=1):
+                x = _conv_block(x, conv, cfg, collect_scales,
+                                f"decoder/{lvl}/convs/{j}")
 
-        logits = _apply_conv(x, params["head"])
+        logits = _apply_conv(x, params["head"], collect_scales, "head")
         return new_state, logits.astype(jnp.float32)
 
     @staticmethod

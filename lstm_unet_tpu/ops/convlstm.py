@@ -88,10 +88,12 @@ class ConvLSTMCell:
                 if quantized:
                     from .quant import conv2d_q
 
-                    gx = conv2d_q(x, {"kernel_q": params["kernel_x_q"],
-                                      "w_scale": params["wx_scale"],
-                                      "bias": params["bias"]},
-                                  out_dtype=x.dtype)
+                    gx_q = {"kernel_q": params["kernel_x_q"],
+                            "w_scale": params["wx_scale"],
+                            "bias": params["bias"]}
+                    if "x_scale" in params:
+                        gx_q["x_scale"] = params["x_scale"]
+                    gx = conv2d_q(x, gx_q, out_dtype=x.dtype)
                     wh = (params["kernel_h_q"].astype(x.dtype)
                           * params["wh_scale"].astype(x.dtype))
                 else:
@@ -108,13 +110,16 @@ class ConvLSTMCell:
             # outputs at 4F channels cost ~1 GB/step of blocked-layout
             # copies on v5e (int8 HLO analysis, BASELINE.md); the bf16
             # baseline computes gates in bf16 too, so this loses nothing
-            gates = (conv2d_q(x, {"kernel_q": params["kernel_x_q"],
-                                  "w_scale": params["wx_scale"],
-                                  "bias": params["bias"]},
-                              out_dtype=x.dtype)
-                     + conv2d_q(h, {"kernel_q": params["kernel_h_q"],
-                                    "w_scale": params["wh_scale"]},
-                                out_dtype=x.dtype))
+            qx = {"kernel_q": params["kernel_x_q"],
+                  "w_scale": params["wx_scale"], "bias": params["bias"]}
+            qh = {"kernel_q": params["kernel_h_q"],
+                  "w_scale": params["wh_scale"]}
+            if "x_scale" in params:
+                qx["x_scale"] = params["x_scale"]
+            if "h_scale" in params:
+                qh["x_scale"] = params["h_scale"]
+            gates = (conv2d_q(x, qx, out_dtype=x.dtype)
+                     + conv2d_q(h, qh, out_dtype=x.dtype))
         else:
             gates = (conv2d(x, params["kernel_x"], params["bias"])
                      + conv2d(h.astype(x.dtype), params["kernel_h"]))

@@ -88,8 +88,8 @@ def conv2d_q_pair(a: jax.Array, b: jax.Array, qconv: Dict[str, jax.Array],
     over the concat).
     """
     ca = a.shape[-1]
-    qa, s_a = quantize_act(a)
-    qb, s_b = quantize_act(b)
+    qa, s_a = quantize_act(a, qconv.get("x_scale_a"))
+    qb, s_b = quantize_act(b, qconv.get("x_scale_b"))
     k = qconv["kernel_q"]
     acc_a = jax.lax.conv_general_dilated(
         qa, k[:, :, :ca], (1, 1), "SAME", dimension_numbers=_DIMNUMS,
@@ -106,40 +106,74 @@ def conv2d_q_pair(a: jax.Array, b: jax.Array, qconv: Dict[str, jax.Array],
     return y.astype(out_dtype)
 
 
-def _quantize_conv_dict(conv: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+def _scale_of(act_scales: Optional[Dict[str, float]], site: str):
+    """Calibrated absmax for a site -> static x_scale (absmax/127), or None."""
+    if act_scales is None or site not in act_scales:
+        return None
+    return jnp.asarray(max(float(act_scales[site]), 1e-8) / 127.0, jnp.float32)
+
+
+def _quantize_conv_dict(conv: Dict[str, jax.Array],
+                        act_scales: Optional[Dict[str, float]] = None,
+                        site: str = "") -> Dict[str, jax.Array]:
     q, s = quantize_weight(conv["kernel"])
     out = {"kernel_q": q, "w_scale": s,
            "bias": conv["bias"].astype(jnp.float32)}
     for k in ("ln_scale", "ln_bias"):  # LayerNorm stays f32
         if k in conv:
             out[k] = conv[k]
+    for key, suffix in (("x_scale", ""), ("x_scale_a", ".a"),
+                        ("x_scale_b", ".b")):
+        sc = _scale_of(act_scales, site + suffix)
+        if sc is not None:
+            out[key] = sc
     return out
 
 
-def _quantize_lstm_dict(cell: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+def _quantize_lstm_dict(cell: Dict[str, jax.Array],
+                        act_scales: Optional[Dict[str, float]] = None,
+                        site: str = "") -> Dict[str, jax.Array]:
     qx, sx = quantize_weight(cell["kernel_x"])
     qh, sh = quantize_weight(cell["kernel_h"])
-    return {"kernel_x_q": qx, "wx_scale": sx,
-            "kernel_h_q": qh, "wh_scale": sh,
-            "bias": cell["bias"].astype(jnp.float32)}
+    out = {"kernel_x_q": qx, "wx_scale": sx,
+           "kernel_h_q": qh, "wh_scale": sh,
+           "bias": cell["bias"].astype(jnp.float32)}
+    for key, suffix in (("x_scale", "/x"), ("h_scale", "/h")):
+        sc = _scale_of(act_scales, site + suffix)
+        if sc is not None:
+            out[key] = sc
+    return out
 
 
-def quantize_params_int8(params: Dict) -> Dict:
+def quantize_params_int8(params: Dict,
+                         act_scales: Optional[Dict[str, float]] = None) -> Dict:
     """ULSTMnet2D param tree (f32/bf16) -> int8 inference tree.
 
     Mirrors the model structure from models/ulstm_unet.py::ULSTMnet2D.init:
     encoder levels ({lstm: [...], convs: [...]}), decoder levels
     ({convs: [...]}), head.
+
+    ``act_scales``: calibrated per-site activation absmax values keyed by
+    the collect_scales site names (models/ulstm_unet.py::ULSTMnet2D.step);
+    present sites get static ``x_scale`` entries (the dynamic per-frame
+    abs-max reduction pass — one full HBM read of every conv input —
+    disappears from the compiled step). Missing sites stay dynamic.
     """
     return {
         "encoder": [
-            {"lstm": [_quantize_lstm_dict(c) for c in lvl["lstm"]],
-             "convs": [_quantize_conv_dict(c) for c in lvl["convs"]]}
-            for lvl in params["encoder"]
+            {"lstm": [_quantize_lstm_dict(c, act_scales,
+                                          f"encoder/{i}/lstm/{j}")
+                      for j, c in enumerate(lvl["lstm"])],
+             "convs": [_quantize_conv_dict(c, act_scales,
+                                           f"encoder/{i}/convs/{j}")
+                       for j, c in enumerate(lvl["convs"])]}
+            for i, lvl in enumerate(params["encoder"])
         ],
         "decoder": [
-            {"convs": [_quantize_conv_dict(c) for c in lvl["convs"]]}
-            for lvl in params["decoder"]
+            {"convs": [_quantize_conv_dict(c, act_scales,
+                                           f"decoder/{i}/convs/{j}")
+                       for j, c in enumerate(lvl["convs"])]}
+            for i, lvl in enumerate(params["decoder"])
         ],
-        "head": _quantize_conv_dict(params["head"]),
+        "head": _quantize_conv_dict(params["head"], act_scales, "head"),
     }

@@ -103,3 +103,74 @@ def test_int8_inference_end_to_end_seg_parity(trained_tiny, tmp_path):
     # score int8 masks against f32 masks as pseudo-GT: near-perfect overlap
     score = seg_measure_sequence(outs["float32"], outs["int8"])
     assert score > 0.9, score
+
+
+def test_collect_scales_covers_every_conv_site():
+    cfg = ModelConfig.make(tiny_net_kernel_params())
+    params = ULSTMnet2D.init(jax.random.PRNGKey(1), cfg)
+    state = ULSTMnet2D.init_state(cfg, 1, 16, 16)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 16, 1))
+    collect = {}
+    ULSTMnet2D.step(params, state, x, cfg, collect_scales=collect)
+    nkp = cfg.nkp
+    n_lstm = sum(len(l) for l in nkp.lstm_kernels)
+    n_convs = (sum(len(l) for l in nkp.down_conv_kernels)
+               + sum(len(l) for l in nkp.up_conv_kernels))
+    # per LSTM: x + h sites; per conv: 1 site; head: 1
+    assert len(collect) == 2 * n_lstm + n_convs + 1, sorted(collect)
+    # h-sites are 0 on the first frame (zero initial LSTM state); every
+    # other site must have seen a real activation
+    assert all(float(v) > 0 for k, v in collect.items()
+               if not k.endswith("/h"))
+    assert all(float(v) >= 0 for v in collect.values())
+
+
+def test_static_scale_matches_dynamic_when_exact(rng):
+    """A static x_scale equal to the dynamic absmax/127 must produce the
+    bit-identical conv output (the static path only skips the reduction)."""
+    x = jnp.asarray(rng.normal(0, 1.0, (1, 8, 8, 8)).astype(np.float32))
+    conv = init_conv(jax.random.PRNGKey(0), 3, 3, 8, 16)
+    q, s = quantize_weight(conv["kernel"])
+    qdict = {"kernel_q": q, "w_scale": s, "bias": conv["bias"]}
+    y_dyn = np.asarray(conv2d_q(x, qdict))
+    x_scale = jnp.max(jnp.abs(x)) / 127.0
+    y_static = np.asarray(conv2d_q(x, {**qdict, "x_scale": x_scale}))
+    np.testing.assert_array_equal(y_dyn, y_static)
+
+
+def test_calibrated_int8_end_to_end(trained_tiny, tmp_path):
+    """calibrate_model_dir writes act_scales.json; the int8 engine picks it
+    up and the masks still SEG-match the dynamic-scale int8 masks."""
+    from lstm_unet_tpu.engine.infer import (
+        calibrate_model_dir, load_act_scales, run_inference)
+    from lstm_unet_tpu.io.tiff import read_tiff
+    from lstm_unet_tpu.metrics import seg_measure_sequence
+    from lstm_unet_tpu.ops.quant import quantize_params_int8
+
+    root, ckpt = trained_tiny
+    seq = os.path.join(root, "Synth-N2DH-SIM", "01")
+    path = calibrate_model_dir(ckpt, seq, n_frames=4)
+    scales = load_act_scales(ckpt)
+    assert scales and os.path.exists(path)
+    # quantized tree gains static-scale leaves at the calibrated sites
+    cfg = ModelConfig.make(tiny_net_kernel_params())
+    params = ULSTMnet2D.init(jax.random.PRNGKey(1), cfg)
+    qp = quantize_params_int8(params, scales)
+    assert "x_scale" in qp["head"] and "x_scale" in qp["encoder"][0]["lstm"][0]
+    assert "h_scale" in qp["encoder"][0]["lstm"][0]
+
+    outs = {}
+    for tag in ("dynamic", "calibrated"):
+        if tag == "dynamic":
+            os.rename(path, path + ".bak")  # hide scales -> dynamic path
+        ip = CTCInferenceParams(
+            model_path=ckpt, sequence_path=seq,
+            output_path=str(tmp_path / tag), min_cell_size=5,
+            pre_sequence_frames=1, dtype="int8")
+        run_inference(ip)
+        if tag == "dynamic":
+            os.rename(path + ".bak", path)
+        outs[tag] = [read_tiff(p) for p in sorted(
+            glob.glob(str(tmp_path / tag / "mask*.tif")))]
+    score = seg_measure_sequence(outs["dynamic"], outs["calibrated"])
+    assert score > 0.9, score
