@@ -114,13 +114,16 @@ class CTCRAMReaderSequence2D:
         is_last [B]       float32 (window ends its sequence → reset LSTM lane)
 
     NOTE on threading: the consumer carries LSTM state from batch N into
-    batch N+1, so consecutive batches MUST come from one producer's lane
-    streams — multiple independent producers interleaving on the queue would
-    silently break streaming-BPTT continuity (state from thread A applied to
-    thread B's windows). The producer is therefore always a single thread;
-    ``num_threads`` > 1 is clamped with a warning. (If multi-producer
-    prefetch is ever needed, batches must carry a stream id and the trainer
-    must keep per-stream state.)
+    batch N+1, so lane i's consecutive windows MUST form one continuous
+    stream — independent producers interleaving whole batches on one queue
+    would silently break streaming-BPTT continuity (state from thread A
+    applied to thread B's windows). Parallelism is therefore PER LANE: each
+    batch lane owns a FIFO queue; ``num_threads`` producer threads share the
+    lanes round-robin, each lane driven by its own counter-based RNG stream;
+    ``get_batch()`` assembles one window from every lane queue. Lane
+    continuity holds by construction and the produced stream is BIT-
+    IDENTICAL for any thread count (threads only change who computes a
+    lane's next window, never its content or order).
     """
 
     def __init__(self, params: CTCParams, sequence_list: Optional[Sequence] = None,
@@ -143,18 +146,16 @@ class CTCRAMReaderSequence2D:
         ]
         self.elastic = params.elastic_augmentation
         requested = num_threads if num_threads is not None else params.num_prefetch_threads
-        if requested != 1:
-            log_print("CTCRAMReaderSequence2D: clamping producer threads to 1 "
-                      "(BPTT state continuity requires a single batch stream)")
-        self.num_threads = 1
-        self._q: queue.Queue = queue.Queue(maxsize=queue_capacity)
+        self.num_threads = max(1, min(requested, self.batch))
+        # one bounded FIFO per lane (see class docstring threading note)
+        cap = max(2, queue_capacity // self.batch)
+        self._lane_qs: List[queue.Queue] = [
+            queue.Queue(maxsize=cap) for _ in range(self.batch)]
         self._stop = threading.Event()
         self._threads: List[threading.Thread] = []
         self._seed = seed
         self._err: Optional[BaseException] = None
         self.randomize = params.randomize
-
-    _ERR = object()  # queue sentinel: producer died, error in self._err
 
     # -- per-lane stream ----------------------------------------------------
 
@@ -262,45 +263,43 @@ class CTCRAMReaderSequence2D:
             self._producer_loop(tid)
         except BaseException as e:
             # propagate to the consumer: a dead producer must not leave
-            # get_batch() blocking forever (e.g. a cv2.warpAffine failure)
-            self._err = e
-            while not self._stop.is_set():
-                try:
-                    self._q.put(self._ERR, timeout=0.5)
-                    return
-                except queue.Full:
-                    continue
+            # get_batch() blocking forever (e.g. a cv2.warpAffine failure);
+            # get_batch polls self._err, so setting it is sufficient
+            if self._err is None:
+                self._err = e
 
     def _producer_loop(self, tid: int):
-        rng = np.random.default_rng(self._seed + 1000 * tid)
-        lanes = [self._new_traversal(rng) for _ in range(self.batch)]
+        """Produce the window streams of the lanes owned by this thread.
+
+        Lane i's stream is a pure function of (seed, i): its own RNG drives
+        sequence choice + augmentation, so output is identical for any
+        thread count. Per-lane bounded queues provide back-pressure; a
+        thread cycles its lanes so none runs ahead by more than the queue
+        capacity.
+        """
+        my_lanes = [i for i in range(self.batch)
+                    if i % self.num_threads == tid]
+        rngs = {i: np.random.default_rng(self._seed + 9973 * i)
+                for i in my_lanes}
+        lanes = {i: self._new_traversal(rngs[i]) for i in my_lanes}
         while not self._stop.is_set():
-            imgs, segs, insts, valids, fulls, lasts = [], [], [], [], [], []
-            for i in range(self.batch):
+            for i in my_lanes:
                 s, aug = lanes[i]
                 img, seg, inst, valid, full_seg, is_last = self._window(
                     s, aug, aug["start"])
-                imgs.append(img); segs.append(seg); insts.append(inst)
-                valids.append(valid); fulls.append(full_seg); lasts.append(is_last)
                 if is_last:
-                    lanes[i] = self._new_traversal(rng)
+                    lanes[i] = self._new_traversal(rngs[i])
                 else:
                     aug["start"] += self.unroll
-            batch = (
-                np.stack(imgs)[..., None],
-                np.stack(segs),
-                np.stack(valids),
-                np.stack(fulls),
-                np.asarray(lasts, np.float32),
-            )
-            if self.return_instances:
-                batch = batch + (np.stack(insts),)
-            while not self._stop.is_set():
-                try:
-                    self._q.put(batch, timeout=0.5)
-                    break
-                except queue.Full:
-                    continue
+                item = (img, seg, inst, valid, full_seg, is_last)
+                while not self._stop.is_set():
+                    try:
+                        self._lane_qs[i].put(item, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+                if self._stop.is_set():
+                    return
 
     # -- public API (names follow the reference [M]) ------------------------
 
@@ -315,10 +314,27 @@ class CTCRAMReaderSequence2D:
         log_print(f"CTCRAMReaderSequence2D: {self.num_threads} producer thread(s) started")
 
     def get_batch(self):
-        item = self._q.get()
-        if item is self._ERR:
-            raise self._err
-        return item
+        items = []
+        for q in self._lane_qs:
+            while True:
+                if self._err is not None:
+                    raise self._err
+                try:
+                    items.append(q.get(timeout=0.5))
+                    break
+                except queue.Empty:
+                    continue
+        imgs, segs, insts, valids, fulls, lasts = zip(*items)
+        batch = (
+            np.stack(imgs)[..., None],
+            np.stack(segs),
+            np.stack(valids),
+            np.stack(fulls),
+            np.asarray(lasts, np.float32),
+        )
+        if self.return_instances:
+            batch = batch + (np.stack(insts),)
+        return batch
 
     def stop(self) -> None:
         self._stop.set()
@@ -328,11 +344,12 @@ class CTCRAMReaderSequence2D:
         # drain leftover windows: a restarted producer begins fresh traversals,
         # so stale mid-sequence windows would pair a fresh LSTM state with the
         # tail of an old stream and break BPTT window continuity
-        while True:
-            try:
-                self._q.get_nowait()
-            except queue.Empty:
-                break
+        for q in self._lane_qs:
+            while True:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
         self._err = None
 
 
