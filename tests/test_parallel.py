@@ -78,3 +78,31 @@ def test_halo_conv_matches_unsharded():
     xs = jax.device_put(x, NamedSharding(mesh, P(None, "spatial")))
     out = halo_conv2d(xs, p["kernel"], p["bias"], mesh=mesh)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_int8_sharded_forward_matches_single_device():
+    """int8 quantized step under dp+sp sharding == single-device int8 step.
+
+    The dynamic per-tensor activation scale is a GLOBAL abs-max reduce —
+    under spatial sharding XLA must all-reduce it (not per-shard maxes), or
+    lanes quantize on different grids and logits drift; this pins that."""
+    from lstm_unet_tpu.ops.quant import quantize_params_int8
+
+    cfg = ModelConfig.make(tiny_net_kernel_params(), quant="int8")
+    params = ULSTMnet2D.init(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_params_int8(params)
+    B, H, W = 4, 32, 32
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, H, W, 1))
+    state = ULSTMnet2D.init_state(cfg, B, H, W)
+
+    _, ref = jax.jit(
+        lambda p, s, xx: ULSTMnet2D.step(p, s, xx, cfg))(qparams, state, x)
+
+    mesh = make_mesh({"data": 4, "spatial": 2})
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", "spatial")))
+    ss = jax.device_put(state, NamedSharding(mesh, P("data", "spatial")))
+    ps = jax.device_put(qparams, NamedSharding(mesh, P()))
+    with mesh:
+        _, out = jax.jit(
+            lambda p, s, xx: ULSTMnet2D.step(p, s, xx, cfg))(ps, ss, xs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
