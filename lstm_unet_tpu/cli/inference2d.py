@@ -42,7 +42,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="whole-level fused ConvLSTM Pallas kernel where "
                          "shapes allow (inference-only)")
     ap.add_argument("--digit_4", action="store_true", default=None)
-    ap.add_argument("--calibrate", type=int, default=0, metavar="N",
+    ap.add_argument("--calibrate", type=int, default=None, metavar="N",
                     help="first calibrate int8 activation scales on the "
                          "sequence's first N frames (writes act_scales.json "
                          "into --model_path; later int8 runs reuse it)")

@@ -59,3 +59,26 @@ def test_unset_flags_do_not_override_defaults():
     p.override(**args)
     assert p.min_cell_size == default_min
     assert p.model_path == "m"
+
+
+def test_infer_parser_int8_calibrate_fused_surface():
+    args = infer_parser().parse_args([
+        "--model_path", "m", "--sequence_path", "s", "--output_path", "o",
+        "--dtype", "int8", "--calibrate", "8", "--fused_cell",
+        "--state_dtype", "float32",
+    ])
+    assert args.dtype == "int8" and args.calibrate == 8
+    assert args.fused_cell is True and args.state_dtype == "float32"
+
+
+def test_import_tf_parser_surface(tmp_path):
+    """--list on a fabricated bundle prints variables and exits cleanly."""
+    import numpy as np
+
+    from lstm_unet_tpu.checkpoint.tf_bundle import write_bundle
+    from lstm_unet_tpu.cli.import_tf import main as import_main
+
+    prefix = str(tmp_path / "model.ckpt")
+    write_bundle(prefix, {"a/kernel": np.zeros((2, 2), np.float32)})
+    import_main(["--tf_prefix", prefix, "--output_dir", str(tmp_path / "o"),
+                 "--list"])
