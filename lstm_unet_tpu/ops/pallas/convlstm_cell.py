@@ -33,7 +33,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-ROWS = 8  # rows of output computed per grid program
+ROWS = 4  # rows of output computed per grid program (ROWS+4 = 8 keeps the
+          # halo DMA slice length a whole number of 8-sublane tiles)
 
 # Test hook (mirrors lstm_gates.FORCE_INTERPRET)
 FORCE_INTERPRET = False
@@ -74,22 +75,38 @@ def _kernel(recurrent_activation,
     """
     i = pl.program_id(0)
     w = gx_ref.shape[1]
+    wp = h_tile.shape[1]  # W padded to a sublane-aligned width (W + 8)
     feat = c_ref.shape[-1]
 
-    # halo'd input rows for this tile: [ROWS+4, W+4, F]
+    # halo'd input rows for this tile: [ROWS+4, WP, F]. The DMA must copy
+    # full (tile-aligned) rows: Mosaic rejects HBM slices whose sublane dim
+    # is not a multiple of 8 (hence the W+8 pad, not W+4).
     dma = pltpu.make_async_copy(
         h_pad_ref.at[pl.ds(i * ROWS, ROWS + 4)], h_tile, sem)
     dma.start()
     dma.wait()
 
-    # 5x5 recurrent conv as 25 shifted matmuls, f32 accumulation in VMEM
-    for dy in range(5):
-        for dx in range(5):
-            xs = h_tile[dy:dy + ROWS, dx:dx + w, :].reshape(ROWS * w, feat)
+    # 5x5 recurrent conv as 25 shifted matmuls, f32 accumulation in VMEM.
+    # Column shifts via roll + aligned [:w] slice — a direct dx:dx+w slice
+    # is sublane-unaligned for dx∉{0,8,...} and Mosaic rejects it; rolls on
+    # sub-32-bit data are unimplemented (tpu.rotate), so the shift runs in
+    # f32 and converts back to the matmul dtype (5 round-trips per block,
+    # not 25: dx is the outer loop, the row tap dy slices the leading dim,
+    # which allows any offset). The rolled-in wrap columns land at index
+    # >= wp-dx > w, outside the kept region.
+    dot_dt = h_tile.dtype
+    first = True
+    for dx in range(5):
+        t32 = h_tile[:].astype(jnp.float32)
+        sh = t32 if dx == 0 else pltpu.roll(t32, wp - dx, axis=1)
+        cols = sh[:, :w, :].astype(dot_dt)
+        for dy in range(5):
+            xs = cols[dy:dy + ROWS].reshape(ROWS * w, feat)
             tap = jnp.dot(xs, wh_ref[dy, dx],
                           preferred_element_type=jnp.float32)
-            if dy == 0 and dx == 0:
+            if first:
                 acc[:] = tap
+                first = False
             else:
                 acc[:] += tap
 
@@ -115,7 +132,9 @@ def fused_convlstm_level(gx: jax.Array, h: jax.Array, c: jax.Array,
     the XLA conv's SAME geometry.
     """
     hh, ww, feat = h.shape
-    h_pad = jnp.pad(h.astype(wh.dtype), ((2, 2), (2, 2), (0, 0)))
+    # right-pad the column halo to 6 so the padded width (ww + 8) stays a
+    # multiple of the 8-sublane tile — see the DMA note in _kernel
+    h_pad = jnp.pad(h.astype(wh.dtype), ((2, 2), (2, 6), (0, 0)))
     grid = (hh // ROWS,)
     kern = functools.partial(_kernel, recurrent_activation)
     h_new, c_new = pl.pallas_call(
@@ -140,10 +159,13 @@ def fused_convlstm_level(gx: jax.Array, h: jax.Array, c: jax.Array,
             jax.ShapeDtypeStruct((hh, ww, feat), c.dtype),   # c_new
         ),
         scratch_shapes=[
-            pltpu.VMEM((ROWS + 4, ww + 4, feat), wh.dtype),  # halo tile
+            pltpu.VMEM((ROWS + 4, ww + 8, feat), wh.dtype),  # halo tile
             pltpu.VMEM((ROWS * ww, 4 * feat), jnp.float32),  # gate accum
             pltpu.SemaphoreType.DMA(()),
         ],
+        # the f32 roll round-trip temporaries push the stack just past the
+        # default 16 MB scoped-vmem limit at F=128/W=512 (measured 16.16 MB)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=24 * 2 ** 20),
         interpret=_use_interpret(),
     )(h_pad, gx, c, wh)
     return h_new, c_new
