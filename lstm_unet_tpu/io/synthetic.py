@@ -25,17 +25,20 @@ def make_cell_sequence(
     seed: int = 0,
     noise: float = 0.05,
     radius_scale: float = 1.0,
+    velocity_scale: float = 1.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Return (images [T,H,W] uint16, labels [T,H,W] uint16) of drifting cells.
 
     ``radius_scale`` scales cell radii — held-out generalization protocols
     vary it (with seed and num_cells) to build unseen distributions.
+    ``velocity_scale`` scales per-frame drift — very long single-sequence
+    streams (carry-drift protocol) use a small value so cells stay in frame.
     """
     rng = np.random.default_rng(seed)
     cy = rng.uniform(0.2 * height, 0.8 * height, num_cells)
     cx = rng.uniform(0.2 * width, 0.8 * width, num_cells)
-    vy = rng.uniform(-1.0, 1.0, num_cells)
-    vx = rng.uniform(-1.0, 1.0, num_cells)
+    vy = rng.uniform(-1.0, 1.0, num_cells) * velocity_scale
+    vx = rng.uniform(-1.0, 1.0, num_cells) * velocity_scale
     ry = rng.uniform(height * 0.06, height * 0.12, num_cells) * radius_scale
     rx = rng.uniform(width * 0.06, width * 0.12, num_cells) * radius_scale
     inten = rng.uniform(0.5, 1.0, num_cells)

@@ -31,7 +31,13 @@ def main() -> None:
     ap.add_argument("--model_path", type=str, required=True)
     ap.add_argument("--frames", type=int, default=1200)
     ap.add_argument("--size", type=int, default=512)
-    ap.add_argument("--segment", type=int, default=40)
+    ap.add_argument("--segment", type=int, default=40,
+                    help="frames per synthetic segment; state is NEVER "
+                         "reset across segment boundaries")
+    ap.add_argument("--velocity_scale", type=float, default=1.0,
+                    help="cell drift per frame; with --segment == --frames "
+                         "use ~0.2 so one coherent sequence keeps its cells "
+                         "in frame for 1000+ frames")
     ap.add_argument("--report_every", type=int, default=100)
     ap.add_argument("--cells", type=int, default=30)
     args = ap.parse_args()
@@ -62,15 +68,22 @@ def main() -> None:
         state = ULSTMnet2D.init_state(cfg, 1, args.size, args.size)
         runs[state_dtype] = (jstep, params, state)
 
+    from lstm_unet_tpu.metrics import seg_measure
+
     n_seg = (args.frames + args.segment - 1) // args.segment
     t0 = time.perf_counter()
-    print("frame,max_abs_dlogits,mask_diff_px,instances_bf16,instances_f32")
+    # divergence alone doesn't pick a default (two chaotic-but-equal
+    # variants also diverge) — score each variant against the generator's
+    # instance GT so drift is measured as QUALITY, not distance
+    print("frame,max_abs_dlogits,mask_diff_px,instances_bf16,instances_f32,"
+          "seg_bf16,seg_f32")
     frame_idx = 0
     for seg in range(n_seg):
-        imgs, _ = make_cell_sequence(num_frames=args.segment, height=args.size,
-                                     width=args.size, num_cells=args.cells,
-                                     seed=1000 + seg)
-        for f in imgs:
+        imgs, gts = make_cell_sequence(num_frames=args.segment,
+                                       height=args.size, width=args.size,
+                                       num_cells=args.cells, seed=1000 + seg,
+                                       velocity_scale=args.velocity_scale)
+        for f, gt in zip(imgs, gts):
             x = jnp.asarray(percentile_normalize_np(f),
                             jnp.float32)[None, ..., None]
             out = {}
@@ -87,7 +100,12 @@ def main() -> None:
                 dm = int(jnp.sum((ma > 0) != (mf > 0)))
                 ia = int(jnp.max(ma))
                 if_ = int(jnp.max(mf))
-                print(f"{frame_idx},{dl:.5f},{dm},{ia},{if_}", flush=True)
+                sa, na = seg_measure(np.asarray(gt), np.asarray(ma))
+                sf, nf = seg_measure(np.asarray(gt), np.asarray(mf))
+                sa = sa / max(na, 1)
+                sf = sf / max(nf, 1)
+                print(f"{frame_idx},{dl:.5f},{dm},{ia},{if_},"
+                      f"{sa:.4f},{sf:.4f}", flush=True)
             if frame_idx >= args.frames:
                 break
         if frame_idx >= args.frames:
