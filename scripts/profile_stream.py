@@ -1,0 +1,108 @@
+"""Profile the streaming-inference step and bucket device time by op class.
+
+Round-1 found 39% of the bf16 step was XLA-inserted glue (pad/copy/reshape +
+dtype converts); this script re-measures on any config so the glue budget is
+tracked across rounds (VERDICT r1 task #2: fresh profile or dead-end
+analysis with numbers).
+
+Usage (TPU):
+    PYTHONPATH=/root/repo:/root/.axon_site python scripts/profile_stream.py \
+        [--dtype int8] [--calibrated] [--frames 8] [--size 512]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import tempfile
+from collections import defaultdict
+
+
+def bucket(name: str) -> str:
+    n = name.lower()
+    if "convolution" in n or "conv" in n and "convert" not in n:
+        return "conv"
+    if "fusion" in n:
+        return "fusion"
+    if "convert" in n:
+        return "convert"
+    if any(k in n for k in ("copy", "pad", "reshape", "transpose", "slice",
+                            "broadcast", "concatenate")):
+        return "copy/pad/reshape"
+    if any(k in n for k in ("reduce", "scatter", "sort", "iota", "select",
+                            "while", "dynamic", "gather", "cumsum", "and",
+                            "add", "compare")):
+        return "postprocess/other"
+    return "other"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--dtype", type=str, default="int8")
+    ap.add_argument("--calibrated", action="store_true", default=True)
+    ap.add_argument("--no-calibrated", dest="calibrated", action="store_false")
+    ap.add_argument("--fused_cell", action="store_true")
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--size", type=int, default=512)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+
+    step, state = bench.build_pipeline(args.size, args.dtype, tiny=False,
+                                       fused_cell=args.fused_cell,
+                                       calibrated=args.calibrated)
+    frames = bench.make_frames(4, args.size)
+    dev = [jax.device_put(jnp.asarray(f)) for f in frames]
+    state, labels = step(state, dev[0])
+    int(jnp.max(labels))  # sync (tunnel: block_until_ready doesn't)
+
+    tmp = tempfile.mkdtemp(prefix="trace_")
+    jax.profiler.start_trace(tmp)
+    for i in range(args.frames):
+        state, labels = step(state, dev[i % len(dev)])
+    int(jnp.max(labels))
+    jax.profiler.stop_trace()
+
+    traces = glob.glob(os.path.join(tmp, "**", "*.trace.json.gz"),
+                       recursive=True)
+    if not traces:
+        raise SystemExit(f"no trace files under {tmp}")
+    with gzip.open(traces[0], "rt") as f:
+        data = json.load(f)
+
+    # device-lane complete events only (TensorCore op track)
+    by_bucket = defaultdict(float)
+    by_name = defaultdict(float)
+    pids = {p["pid"] for p in data.get("traceEvents", [])
+            if p.get("ph") == "M" and p.get("name") == "process_name"
+            and "TPU" in str(p.get("args", {}).get("name", ""))}
+    for e in data.get("traceEvents", []):
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        if pids and e.get("pid") not in pids:
+            continue
+        name = e.get("name", "")
+        if name.startswith("jit_"):  # whole-program span: contains the ops
+            continue
+        by_bucket[bucket(name)] += e["dur"]
+        by_name[name] += e["dur"]
+    total = sum(by_bucket.values())
+    per_frame = total / args.frames / 1e3
+    print(f"device total {total / 1e3:.2f} ms over {args.frames} frames "
+          f"= {per_frame:.2f} ms/frame")
+    for b, t in sorted(by_bucket.items(), key=lambda kv: -kv[1]):
+        print(f"  {b:20s} {t / args.frames / 1e3:7.2f} ms/frame "
+              f"({100 * t / total:4.1f}%)")
+    print("top ops:")
+    for n, t in sorted(by_name.items(), key=lambda kv: -kv[1])[:15]:
+        print(f"  {t / args.frames / 1e3:7.2f} ms/frame  {n[:100]}")
+
+
+if __name__ == "__main__":
+    main()
