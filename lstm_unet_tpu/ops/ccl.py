@@ -102,3 +102,72 @@ def relabel_compact(labels: jax.Array, min_size: int = 0, max_size: int = 0,
     new_ids = jnp.cumsum(keep.astype(jnp.int32)) * keep  # 0 where dropped
     out = new_ids[idx].reshape(h, w).astype(jnp.int32)
     return out, jnp.max(new_ids).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("min_size", "max_size"))
+def relabel_compact_mm(labels: jax.Array, min_size: int = 0,
+                       max_size: int = 0) -> Tuple[jax.Array, jax.Array]:
+    """Scatter/gather-free :func:`relabel_compact` (same contract).
+
+    TPU scatter-add and random gather over the h*w+1 seed table cost ~3.3 +
+    3.4 ms @512² (BASELINE.md round-2 decomposition) — random access is the
+    one thing the MXU/VPU can't stream. This variant never random-accesses:
+
+    - histogram: seed value s = hi*w + lo decomposes into (hi, lo); counts
+      over the 2-D bin grid are ``one_hot(hi)^T @ one_hot(lo)`` summed over
+      pixel chunks — 0/1 bf16 matmuls with f32 accumulation are EXACT and
+      run on the MXU (~137 GFLOP @512², ~1 ms vs 3.3 ms scatter);
+    - compaction ids: raster cumsum over the bin grid = per-row cumsum +
+      row-offset prefix (cheap 2-D pass, not a 262k 1-D scan);
+    - remap: ``new_ids[seed_p]`` gathers become two more one-hot matmuls
+      against the id table split into high/low bytes (ids ≤ 65535 — the
+      uint16 output contract — keep each byte ≤ 255, exact in bf16).
+
+    Requires h % 8 == 0 (pixel chunking); callers fall back to
+    :func:`relabel_compact` otherwise.
+    """
+    h, w = labels.shape
+    CH = 8  # pixel rows per scan step -> one-hot chunks of CH*w pixels
+    if h % CH:
+        raise ValueError(f"relabel_compact_mm needs h % {CH} == 0, got {h}")
+    nb = h + 1  # seeds are linear index + 1, so hi = s // w reaches h
+    hi = (labels // w).reshape(h // CH, CH * w)
+    lo = (labels % w).reshape(h // CH, CH * w)
+    bins_h = jnp.arange(nb, dtype=jnp.int32)
+    bins_w = jnp.arange(w, dtype=jnp.int32)
+
+    def hist_body(c2d, rows):
+        hi_r, lo_r = rows
+        a = (hi_r[:, None] == bins_h[None, :]).astype(jnp.bfloat16)
+        b = (lo_r[:, None] == bins_w[None, :]).astype(jnp.bfloat16)
+        return c2d + jnp.dot(a.T, b, preferred_element_type=jnp.float32), 0
+
+    c2d, _ = jax.lax.scan(hist_body, jnp.zeros((nb, w), jnp.float32),
+                          (hi, lo))
+    counts = c2d.astype(jnp.int32)
+    keep = counts > 0
+    keep = keep.at[0, 0].set(False)  # background bin (label 0)
+    if min_size:
+        keep &= counts >= min_size
+    if max_size:
+        keep &= counts <= max_size
+
+    k32 = keep.astype(jnp.int32)
+    row_off = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(jnp.sum(k32, axis=1))[:-1]])
+    new_ids = (jnp.cumsum(k32, axis=1) + row_off[:, None]) * k32  # [nb, w]
+
+    table = jnp.concatenate([new_ids >> 8, new_ids & 255],
+                            axis=1).astype(jnp.bfloat16)  # [nb, 2w]
+
+    def remap_body(_, rows):
+        hi_r, lo_r = rows
+        a = (hi_r[:, None] == bins_h[None, :]).astype(jnp.bfloat16)
+        t = jnp.dot(a, table, preferred_element_type=jnp.float32)  # [CH*w, 2w]
+        b = (lo_r[:, None] == bins_w[None, :]).astype(jnp.float32)
+        hi8 = jnp.sum(t[:, :w] * b, axis=1)
+        lo8 = jnp.sum(t[:, w:] * b, axis=1)
+        return 0, (hi8 * 256.0 + lo8).astype(jnp.int32)
+
+    _, out = jax.lax.scan(remap_body, 0, (hi, lo))
+    return out.reshape(h, w), jnp.max(new_ids).astype(jnp.int32)

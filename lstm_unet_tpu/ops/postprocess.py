@@ -16,7 +16,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .ccl import connected_components, relabel_compact
+from .ccl import connected_components, relabel_compact, relabel_compact_mm
 from .pallas.ccl import connected_components_pallas
 
 
@@ -82,7 +82,7 @@ def grow_into_band(lbl: jax.Array, band: jax.Array, max_rounds: int = 0
     jax.jit,
     static_argnames=("cell_thresh", "edge_thresh", "min_cell_size",
                      "max_cell_size", "fov", "boundary_growth", "grow_iters",
-                     "use_pallas_ccl"),
+                     "use_pallas_ccl", "relabel_method"),
 )
 def postprocess_frame(
     probs: jax.Array,
@@ -94,6 +94,7 @@ def postprocess_frame(
     boundary_growth: str = "marker",
     grow_iters: int = 0,
     use_pallas_ccl: bool = False,
+    relabel_method: str = "auto",
 ) -> jax.Array:
     """3-class probabilities [H,W,3] → instance labels [H,W] int32.
 
@@ -122,7 +123,20 @@ def postprocess_frame(
         raw = connected_components_pallas(interior)
     else:
         raw = connected_components(interior, connectivity=8)
-    lbl, _ = relabel_compact(raw, min_size=min_cell_size, max_size=max_cell_size)
+    # relabel over the h*w+1 seed table: 'matmul' replaces the scatter-add
+    # histogram + random gather (the two ops the TPU can't stream; measured
+    # 3.3 + 3.4 ms @512²) with one-hot MXU matmuls — bit-identical output.
+    # 'auto' = matmul where its h%8 chunking holds.
+    if relabel_method == "auto":
+        relabel_method = "matmul" if h % 8 == 0 else "scatter"
+    if relabel_method == "matmul":
+        lbl, _ = relabel_compact_mm(raw, min_size=min_cell_size,
+                                    max_size=max_cell_size)
+    elif relabel_method == "scatter":
+        lbl, _ = relabel_compact(raw, min_size=min_cell_size,
+                                 max_size=max_cell_size)
+    else:
+        raise ValueError(f"unknown relabel_method {relabel_method!r}")
 
     if boundary_growth == "marker":
         band = (probs[..., 2] > edge_thresh) & ~interior

@@ -341,3 +341,24 @@ def test_ccl_spiral_worst_case(monkeypatch):
     pl_labels = np.asarray(connected_components_pallas(jnp.asarray(mask)))
     np.testing.assert_array_equal(
         pl_labels, np.asarray(connected_components(jnp.asarray(mask))))
+
+
+def test_relabel_mm_matches_scatter():
+    """The matmul relabel (MXU one-hot histogram + byte-split remap) is
+    bit-identical to the scatter/gather version across size filters."""
+    import numpy as np
+
+    from lstm_unet_tpu.ops.ccl import (
+        connected_components, relabel_compact, relabel_compact_mm)
+
+    rng = np.random.default_rng(7)
+    for h, w, p in ((16, 16, 0.3), (64, 32, 0.6), (32, 48, 0.45)):
+        raw = connected_components(jnp.asarray(rng.random((h, w)) < p),
+                                   connectivity=8)
+        for ms, xs in ((0, 0), (3, 0), (2, 20)):
+            a, na = relabel_compact(raw, min_size=ms, max_size=xs)
+            b, nb = relabel_compact_mm(raw, min_size=ms, max_size=xs)
+            assert int(na) == int(nb)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    with pytest.raises(ValueError, match="h % 8"):
+        relabel_compact_mm(jnp.zeros((12, 16), jnp.int32))
