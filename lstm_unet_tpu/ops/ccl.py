@@ -127,24 +127,7 @@ def relabel_compact_mm(labels: jax.Array, min_size: int = 0,
     :func:`relabel_compact` otherwise.
     """
     h, w = labels.shape
-    CH = 8  # pixel rows per scan step -> one-hot chunks of CH*w pixels
-    if h % CH:
-        raise ValueError(f"relabel_compact_mm needs h % {CH} == 0, got {h}")
-    nb = h + 1  # seeds are linear index + 1, so hi = s // w reaches h
-    hi = (labels // w).reshape(h // CH, CH * w)
-    lo = (labels % w).reshape(h // CH, CH * w)
-    bins_h = jnp.arange(nb, dtype=jnp.int32)
-    bins_w = jnp.arange(w, dtype=jnp.int32)
-
-    def hist_body(c2d, rows):
-        hi_r, lo_r = rows
-        a = (hi_r[:, None] == bins_h[None, :]).astype(jnp.bfloat16)
-        b = (lo_r[:, None] == bins_w[None, :]).astype(jnp.bfloat16)
-        return c2d + jnp.dot(a.T, b, preferred_element_type=jnp.float32), 0
-
-    c2d, _ = jax.lax.scan(hist_body, jnp.zeros((nb, w), jnp.float32),
-                          (hi, lo))
-    counts = c2d.astype(jnp.int32)
+    counts = mm_histogram(labels)
     keep = counts > 0
     keep = keep.at[0, 0].set(False)  # background bin (label 0)
     if min_size:
@@ -157,17 +140,60 @@ def relabel_compact_mm(labels: jax.Array, min_size: int = 0,
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(jnp.sum(k32, axis=1))[:-1]])
     new_ids = (jnp.cumsum(k32, axis=1) + row_off[:, None]) * k32  # [nb, w]
 
-    table = jnp.concatenate([new_ids >> 8, new_ids & 255],
-                            axis=1).astype(jnp.bfloat16)  # [nb, 2w]
+    out = mm_lookup(labels, new_ids)
+    return out, jnp.max(new_ids).astype(jnp.int32)
 
-    def remap_body(_, rows):
+
+_MM_CH = 8  # pixel rows per scan step -> one-hot chunks of CH*w values
+
+
+def _mm_split(values: jax.Array):
+    """[h,w] int32 in [0, h*w] -> chunked (hi, lo) bin coords + bin axes."""
+    h, w = values.shape
+    if h % _MM_CH:
+        raise ValueError(f"mm ops need h % {_MM_CH} == 0, got {h}")
+    hi = (values // w).reshape(h // _MM_CH, _MM_CH * w)
+    lo = (values % w).reshape(h // _MM_CH, _MM_CH * w)
+    bins_h = jnp.arange(h + 1, dtype=jnp.int32)  # value h*w has hi == h
+    bins_w = jnp.arange(w, dtype=jnp.int32)
+    return hi, lo, bins_h, bins_w
+
+
+def mm_histogram(values: jax.Array) -> jax.Array:
+    """Histogram of [h,w] int32 values in [0, h*w] -> counts [(h+1), w]
+    (bin of value s = (s // w, s % w)), computed as chunked
+    ``one_hot(hi)^T @ one_hot(lo)`` MXU matmuls — no scatter. 0/1 bf16
+    operands with f32 accumulation are exact for counts < 2^24."""
+    h, w = values.shape
+    hi, lo, bins_h, bins_w = _mm_split(values)
+
+    def body(c2d, rows):
         hi_r, lo_r = rows
         a = (hi_r[:, None] == bins_h[None, :]).astype(jnp.bfloat16)
-        t = jnp.dot(a, table, preferred_element_type=jnp.float32)  # [CH*w, 2w]
+        b = (lo_r[:, None] == bins_w[None, :]).astype(jnp.bfloat16)
+        return c2d + jnp.dot(a.T, b, preferred_element_type=jnp.float32), 0
+
+    c2d, _ = jax.lax.scan(body, jnp.zeros((h + 1, w), jnp.float32), (hi, lo))
+    return c2d.astype(jnp.int32)
+
+
+def mm_lookup(values: jax.Array, table: jax.Array) -> jax.Array:
+    """Per-pixel ``table[values // w, values % w]`` without random gathers:
+    one-hot MXU matmuls against the table split into high/low bytes (table
+    entries must be int in [0, 65535] — exact per byte in bf16)."""
+    h, w = values.shape
+    hi, lo, bins_h, bins_w = _mm_split(values)
+    tb = jnp.concatenate([table >> 8, table & 255],
+                         axis=1).astype(jnp.bfloat16)  # [(h+1), 2w]
+
+    def body(_, rows):
+        hi_r, lo_r = rows
+        a = (hi_r[:, None] == bins_h[None, :]).astype(jnp.bfloat16)
+        t = jnp.dot(a, tb, preferred_element_type=jnp.float32)  # [CH*w, 2w]
         b = (lo_r[:, None] == bins_w[None, :]).astype(jnp.float32)
         hi8 = jnp.sum(t[:, :w] * b, axis=1)
         lo8 = jnp.sum(t[:, w:] * b, axis=1)
         return 0, (hi8 * 256.0 + lo8).astype(jnp.int32)
 
-    _, out = jax.lax.scan(remap_body, 0, (hi, lo))
-    return out.reshape(h, w), jnp.max(new_ids).astype(jnp.int32)
+    _, out = jax.lax.scan(body, 0, (hi, lo))
+    return out.reshape(h, w)

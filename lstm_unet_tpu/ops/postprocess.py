@@ -154,19 +154,30 @@ def postprocess_frame(
         rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
         inside = ((rows >= fov) & (rows < h - fov) & (cols >= fov) & (cols < w - fov))
-        # labels are compact 1..N here (first relabel pass), and the engine's
-        # output contract is uint16 instances — 65536 bins suffice and cut
-        # the scatter table + cumsum 4x vs h*w+1 at 512^2
-        n = min(h * w + 1, 65536)
-        touches = jnp.zeros((n,), jnp.int32).at[
-            jnp.minimum(jnp.where(inside, lbl, 0), n - 1).reshape(-1)
-        ].add(1)
-        keep_mask = (touches > 0).at[0].set(False)
-        lbl = jnp.where(keep_mask[jnp.minimum(lbl, n - 1).reshape(-1)
-                                  ].reshape(h, w), lbl, 0)
-        # FOV dropped labels -> renumber. When fov == 0 the labels are
-        # already compact 1..N from the min-size pass (growth adds no ids),
-        # so the second full scatter+cumsum pass is skipped — measured
-        # ~2 ms/frame @512^2 on v5e (BASELINE.md postprocess breakdown).
-        lbl, _ = relabel_compact(lbl, num_bins=n)
+        if relabel_method == "matmul":
+            # same scatter/gather-free treatment as the first relabel:
+            # presence histogram + 0/1 lookup table + compacting relabel,
+            # all as one-hot MXU matmuls (r2 session 1 measured the scatter
+            # FOV pass at ~8.5 ms/frame @512² with fov=25)
+            from .ccl import mm_histogram, mm_lookup
+
+            touches = mm_histogram(jnp.where(inside, lbl, 0))
+            keep2d = ((touches > 0).at[0, 0].set(False)).astype(jnp.int32)
+            lbl = jnp.where(mm_lookup(lbl, keep2d) > 0, lbl, 0)
+            lbl, _ = relabel_compact_mm(lbl)
+        else:
+            # labels are compact 1..N here (first relabel pass), and the
+            # engine's output contract is uint16 instances — 65536 bins
+            # suffice and cut the scatter table + cumsum 4x vs h*w+1 @512^2
+            n = min(h * w + 1, 65536)
+            touches = jnp.zeros((n,), jnp.int32).at[
+                jnp.minimum(jnp.where(inside, lbl, 0), n - 1).reshape(-1)
+            ].add(1)
+            keep_mask = (touches > 0).at[0].set(False)
+            lbl = jnp.where(keep_mask[jnp.minimum(lbl, n - 1).reshape(-1)
+                                      ].reshape(h, w), lbl, 0)
+            lbl, _ = relabel_compact(lbl, num_bins=n)
+        # when fov == 0 the labels are already compact 1..N from the
+        # min-size pass (growth adds no ids), so the second relabel pass is
+        # skipped entirely — measured ~2 ms/frame @512^2 on v5e (BASELINE.md)
     return lbl

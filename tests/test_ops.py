@@ -362,3 +362,19 @@ def test_relabel_mm_matches_scatter():
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     with pytest.raises(ValueError, match="h % 8"):
         relabel_compact_mm(jnp.zeros((12, 16), jnp.int32))
+
+
+def test_postprocess_fov_matmul_matches_scatter():
+    import numpy as np
+
+    from lstm_unet_tpu.ops.postprocess import postprocess_frame
+
+    rng = np.random.default_rng(3)
+    interior = (rng.random((64, 64)) < 0.4).astype(np.float32)
+    probs = np.stack([1 - interior, interior, np.zeros_like(interior)], -1)
+    for fov in (0, 5, 16):
+        a = postprocess_frame(jnp.asarray(probs), min_cell_size=3, fov=fov,
+                              relabel_method="scatter")
+        b = postprocess_frame(jnp.asarray(probs), min_cell_size=3, fov=fov,
+                              relabel_method="matmul")
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
