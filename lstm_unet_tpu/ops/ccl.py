@@ -123,7 +123,7 @@ def relabel_compact_mm(labels: jax.Array, min_size: int = 0,
       against the id table split into high/low bytes (ids ≤ 65535 — the
       uint16 output contract — keep each byte ≤ 255, exact in bf16).
 
-    Requires h % 8 == 0 (pixel chunking); callers fall back to
+    Requires h % 16 == 0 (pixel chunking); callers fall back to
     :func:`relabel_compact` otherwise.
     """
     h, w = labels.shape
@@ -144,7 +144,9 @@ def relabel_compact_mm(labels: jax.Array, min_size: int = 0,
     return out, jnp.max(new_ids).astype(jnp.int32)
 
 
-_MM_CH = 8  # pixel rows per scan step -> one-hot chunks of CH*w values
+_MM_CH = 16  # pixel rows per scan step (A/B'd on v5e: 16 beats 8 by ~3%,
+             # 32 regresses — BASELINE.md); model inputs are multiples of
+             # 2^depth = 16, so the h % 16 constraint always holds there
 
 
 def _mm_split(values: jax.Array):

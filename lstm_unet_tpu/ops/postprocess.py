@@ -128,7 +128,9 @@ def postprocess_frame(
     # 3.3 + 3.4 ms @512²) with one-hot MXU matmuls — bit-identical output.
     # 'auto' = matmul where its h%8 chunking holds.
     if relabel_method == "auto":
-        relabel_method = "matmul" if h % 8 == 0 else "scatter"
+        from .ccl import _MM_CH
+
+        relabel_method = "matmul" if h % _MM_CH == 0 else "scatter"
     if relabel_method == "matmul":
         lbl, _ = relabel_compact_mm(raw, min_size=min_cell_size,
                                     max_size=max_cell_size)

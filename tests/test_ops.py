@@ -360,7 +360,7 @@ def test_relabel_mm_matches_scatter():
             b, nb = relabel_compact_mm(raw, min_size=ms, max_size=xs)
             assert int(na) == int(nb)
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    with pytest.raises(ValueError, match="h % 8"):
+    with pytest.raises(ValueError, match="h % 16"):
         relabel_compact_mm(jnp.zeros((12, 16), jnp.int32))
 
 
