@@ -32,6 +32,12 @@ TRAIN = [  # (seq, seed, num_cells, radius_scale, frames)
     ("01", 1, 30, 1.0, 100),
     ("02", 2, 30, 1.0, 100),
     ("03", 3, 30, 1.0, 40),  # validation
+    # protocol v2 (round-2 session 2): broaden the TRAINING distribution to
+    # cover the density/size range; eval seeds stay unseen. v1 trained only
+    # on 30-cell/1.0 and was scored out-of-distribution on density.
+    ("04", 4, 20, 0.8, 100),
+    ("05", 5, 35, 1.0, 100),
+    ("06", 6, 45, 1.2, 100),
 ]
 HELDOUT = [
     ("01", 101, 20, 0.8, 40),
