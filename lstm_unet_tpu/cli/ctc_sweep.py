@@ -60,6 +60,9 @@ def main(argv=None) -> None:
                     help="whole-level fused ConvLSTM Pallas kernel where "
                          "shapes allow (inference-only)")
     ap.add_argument("--max_batch", type=int, default=4)
+    ap.add_argument("--reset_on_jump", type=float, default=0.0,
+                    help="auto-reset LSTM state on abrupt scene change "
+                         "(mean abs frame delta threshold; 0 = off)")
     ap.add_argument("--score_seg", action="store_true",
                     help="after the sweep, score SEG against <seq>_GT/SEG "
                          "ground truth where present")
@@ -86,7 +89,7 @@ def main(argv=None) -> None:
         grow_iters=args.grow_iters,
         pre_sequence_frames=args.pre_sequence_frames,
         dtype=args.dtype, state_dtype=args.state_dtype,
-        fused_cell=args.fused_cell)
+        fused_cell=args.fused_cell, reset_on_jump=args.reset_on_jump)
     params, cfg = load_model(args.model_path, dtype=args.dtype,
                              state_dtype=args.state_dtype,
                              fused_cell=args.fused_cell)

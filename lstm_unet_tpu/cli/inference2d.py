@@ -42,6 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="whole-level fused ConvLSTM Pallas kernel where "
                          "shapes allow (inference-only)")
     ap.add_argument("--digit_4", action="store_true", default=None)
+    ap.add_argument("--reset_on_jump", type=float,
+                    help="auto-reset LSTM state when the mean abs frame "
+                         "delta exceeds this (0/off = reference behavior)")
     ap.add_argument("--calibrate", type=int, default=None, metavar="N",
                     help="first calibrate int8 activation scales on the "
                          "sequence's first N frames (writes act_scales.json "

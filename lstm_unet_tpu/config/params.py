@@ -328,6 +328,13 @@ class CTCInferenceParams(ParamsBase):
     # whole-level fused ConvLSTM Pallas kernel where shapes allow
     # (ops/pallas/convlstm_cell.py); inference-only
     fused_cell: bool = False
+    # auto-reset the LSTM state when the mean abs difference between
+    # consecutive normalized frames exceeds this (0 = off, reference
+    # behavior: state is never reset). Motivated by the carry-drift stress
+    # (BASELINE.md): abrupt scene changes saturate the carried state and
+    # degrade quality in either precision; a reset recovers fresh-stream
+    # behavior at the cost of pre_sequence-style cold-start on the cut.
+    reset_on_jump: float = 0.0
     digit_4: bool = False          # True → mask%04d.tif (long sequences, e.g. PSC)
     # multi-chip streaming (no reference analog): 'data' shards batched
     # sequences, 'spatial' shards frame height (XLA inserts conv halos)

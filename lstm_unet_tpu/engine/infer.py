@@ -197,11 +197,17 @@ class StreamingInferenceEngine:
         ip = self.ip
         h = oh + (-oh) % self.depth_multiple
         w = ow + (-ow) % self.depth_multiple
+        # reset_on_jump: carry the previous normalized frame and zero a
+        # lane's LSTM state when the scene changes abruptly (BASELINE.md
+        # carry-drift stress: discontinuities saturate the carried state in
+        # ANY precision; the reference never resets — off by default)
+        jump_thresh = float(getattr(ip, "reset_on_jump", 0.0) or 0.0)
 
         # params is an explicit jit argument (closed-over arrays would be
         # inlined into the HLO as constants — huge programs, slow compiles)
         @functools.partial(jax.jit, donate_argnums=(1,))
-        def step(params, state, frame):
+        def step(params, carry, frame):
+            state, prev = carry if jump_thresh > 0 else (carry, None)
             # percentile normalization on device: the reference normalizes
             # per frame on the host (SURVEY.md §2 "Inference reader") which
             # on a thin host would bottleneck the streaming loop.
@@ -212,7 +218,15 @@ class StreamingInferenceEngine:
                 return (f.astype(jnp.float32) - lo) / jnp.maximum(hi - lo, 1e-6)
 
             frame = jax.vmap(norm)(frame)
+            if jump_thresh > 0:
+                # per-lane mean abs frame delta; prev starts NaN -> the
+                # comparison is False on the first frame (no reset)
+                jumps = jnp.mean(jnp.abs(frame - prev), axis=(1, 2, 3))
+                state = ULSTMnet2D.reset_lanes(
+                    state, (jumps > jump_thresh).astype(jnp.float32))
             new_state, logits = ULSTMnet2D.step(params, state, frame, self.cfg)
+            if jump_thresh > 0:
+                new_state = (new_state, frame)
             logits = logits[:, :oh, :ow]  # postprocess at original size
             probs = jax.nn.softmax(logits, axis=-1)
             labels = jax.vmap(
@@ -255,12 +269,18 @@ class StreamingInferenceEngine:
             spec = P("data" if data_ok else None,
                      "spatial" if spatial_ok else None)
             params_dev = self._shard(self._cast_params(self.params), P())
-            state = self._shard(
-                ULSTMnet2D.init_state(self.cfg, batch, h, w), spec)
+            state = ULSTMnet2D.init_state(self.cfg, batch, h, w)
+            if jump_thresh > 0:
+                state = (state,
+                         jnp.full((batch, h, w, 1), jnp.nan, jnp.float32))
+            state = self._shard(state, spec)
             self._frame_spec = spec
         else:
             params_dev = jax.device_put(self._cast_params(self.params))
             state = ULSTMnet2D.init_state(self.cfg, batch, h, w)
+            if jump_thresh > 0:
+                state = (state,
+                         jnp.full((batch, h, w, 1), jnp.nan, jnp.float32))
             self._frame_spec = None
         self._params_dev = params_dev
         self._step = lambda s, frame: step(self._params_dev, s, frame)

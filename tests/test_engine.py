@@ -396,3 +396,39 @@ def test_nonfinite_grads_are_skipped(synth_root, tmp_path):
         params, opt_state, state, img, seg, ones, ones, jnp.zeros((B,)))
     for a, b in zip(before, jax.tree_util.tree_leaves(new_params)):
         np.testing.assert_array_equal(a, np.asarray(b))
+
+
+def test_reset_on_jump_recovers_fresh_stream(synth_root, tmp_path):
+    """With reset_on_jump, an abrupt scene change zeroes the LSTM state:
+    the first frame after the cut produces EXACTLY the fresh-stream output,
+    while without the option the stale state leaks through."""
+    import numpy as np
+
+    from lstm_unet_tpu.config import CTCInferenceParams, tiny_net_kernel_params
+    from lstm_unet_tpu.engine.infer import StreamingInferenceEngine
+    from lstm_unet_tpu.io.synthetic import make_cell_sequence
+    from lstm_unet_tpu.models import ModelConfig, ULSTMnet2D
+
+    import jax
+
+    cfg = ModelConfig.make(tiny_net_kernel_params())
+    params = ULSTMnet2D.init(jax.random.PRNGKey(0), cfg)
+    scene_a, _ = make_cell_sequence(num_frames=3, height=32, width=32,
+                                    num_cells=3, seed=1)
+    scene_b, _ = make_cell_sequence(num_frames=1, height=32, width=32,
+                                    num_cells=5, seed=99)
+    # scene_b inverted intensity-wise -> large mean frame delta
+    frame_b = (60000 - scene_b[0].astype(np.float32))
+
+    def stream(reset_thresh, frames):
+        ip = CTCInferenceParams(model_path="", dtype="float32",
+                                min_cell_size=2, reset_on_jump=reset_thresh)
+        eng = StreamingInferenceEngine(params, cfg, ip)
+        out = None
+        for f in frames:
+            out, _ = eng.process_frame(f.astype(np.float32))
+        return out
+
+    fresh = stream(0.0, [frame_b])
+    with_reset = stream(0.4, list(scene_a.astype(np.float32)) + [frame_b])
+    np.testing.assert_array_equal(with_reset, fresh)
