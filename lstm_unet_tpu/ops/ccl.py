@@ -123,10 +123,15 @@ def relabel_compact_mm(labels: jax.Array, min_size: int = 0,
       against the id table split into high/low bytes (ids ≤ 65535 — the
       uint16 output contract — keep each byte ≤ 255, exact in bf16).
 
-    Requires h % 16 == 0 (pixel chunking); callers fall back to
-    :func:`relabel_compact` otherwise.
+    Id overflow is LOUD: if more than 65535 components survive the filters
+    (beyond the byte-split's exact range AND the uint16 output contract),
+    every pixel of the returned map is set to int32 max — callers that cast
+    to uint16 (the engine checks ``labels.max()``) fail immediately instead
+    of shipping silently corrupted ids. The returned count is always exact.
+
+    Any (h, w): rows are zero-padded internally to the chunk multiple
+    (padding only inflates the background bin, which is never kept).
     """
-    h, w = labels.shape
     counts = mm_histogram(labels)
     keep = counts > 0
     keep = keep.at[0, 0].set(False)  # background bin (label 0)
@@ -135,39 +140,51 @@ def relabel_compact_mm(labels: jax.Array, min_size: int = 0,
     if max_size:
         keep &= counts <= max_size
 
-    k32 = keep.astype(jnp.int32)
-    row_off = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(jnp.sum(k32, axis=1))[:-1]])
-    new_ids = (jnp.cumsum(k32, axis=1) + row_off[:, None]) * k32  # [nb, w]
-
+    new_ids = compact_ids_from_keep(keep)
     out = mm_lookup(labels, new_ids)
-    return out, jnp.max(new_ids).astype(jnp.int32)
+    n = jnp.max(new_ids).astype(jnp.int32)
+    out = jnp.where(n > 65535, jnp.int32(jnp.iinfo(jnp.int32).max), out)
+    return out, n
 
 
 _MM_CH = 16  # pixel rows per scan step (A/B'd on v5e: 16 beats 8 by ~3%,
-             # 32 regresses — BASELINE.md); model inputs are multiples of
-             # 2^depth = 16, so the h % 16 constraint always holds there
+             # 32 regresses — BASELINE.md)
 
 
 def _mm_split(values: jax.Array):
-    """[h,w] int32 in [0, h*w] -> chunked (hi, lo) bin coords + bin axes."""
+    """[h,w] int32 in [0, h*w] -> chunked (hi, lo) bin coords + bin axes.
+
+    Rows are zero-padded to a multiple of the chunk size (e.g. real CTC
+    frame heights like 690): padded pixels carry value 0 and land in the
+    background bin (0, 0), which every caller excludes."""
     h, w = values.shape
-    if h % _MM_CH:
-        raise ValueError(f"mm ops need h % {_MM_CH} == 0, got {h}")
-    hi = (values // w).reshape(h // _MM_CH, _MM_CH * w)
-    lo = (values % w).reshape(h // _MM_CH, _MM_CH * w)
-    bins_h = jnp.arange(h + 1, dtype=jnp.int32)  # value h*w has hi == h
+    hp = h + (-h) % _MM_CH
+    if hp != h:
+        values = jnp.pad(values, ((0, hp - h), (0, 0)))
+    hi = (values // w).reshape(hp // _MM_CH, _MM_CH * w)
+    lo = (values % w).reshape(hp // _MM_CH, _MM_CH * w)
+    bins_h = jnp.arange(hp + 1, dtype=jnp.int32)  # value h*w has hi == h
     bins_w = jnp.arange(w, dtype=jnp.int32)
-    return hi, lo, bins_h, bins_w
+    return hi, lo, bins_h, bins_w, hp
+
+
+def compact_ids_from_keep(keep: jax.Array) -> jax.Array:
+    """keep [(hp+1), w] bool -> raster-ordered compact ids (0 where dropped):
+    per-row cumsum + row-offset prefix (cheap 2-D pass, not a 1-D scan)."""
+    k32 = keep.astype(jnp.int32)
+    row_off = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(jnp.sum(k32, axis=1))[:-1]])
+    return (jnp.cumsum(k32, axis=1) + row_off[:, None]) * k32
 
 
 def mm_histogram(values: jax.Array) -> jax.Array:
-    """Histogram of [h,w] int32 values in [0, h*w] -> counts [(h+1), w]
-    (bin of value s = (s // w, s % w)), computed as chunked
-    ``one_hot(hi)^T @ one_hot(lo)`` MXU matmuls — no scatter. 0/1 bf16
-    operands with f32 accumulation are exact for counts < 2^24."""
-    h, w = values.shape
-    hi, lo, bins_h, bins_w = _mm_split(values)
+    """Histogram of [h,w] int32 values in [0, h*w] -> counts [(hp+1), w]
+    where hp is h padded to the chunk multiple (bin of value s =
+    (s // w, s % w); row padding inflates only bin (0, 0)), computed as
+    chunked ``one_hot(hi)^T @ one_hot(lo)`` MXU matmuls — no scatter. 0/1
+    bf16 operands with f32 accumulation are exact for counts < 2^24."""
+    hi, lo, bins_h, bins_w, hp = _mm_split(values)
+    w = values.shape[1]
 
     def body(c2d, rows):
         hi_r, lo_r = rows
@@ -175,18 +192,21 @@ def mm_histogram(values: jax.Array) -> jax.Array:
         b = (lo_r[:, None] == bins_w[None, :]).astype(jnp.bfloat16)
         return c2d + jnp.dot(a.T, b, preferred_element_type=jnp.float32), 0
 
-    c2d, _ = jax.lax.scan(body, jnp.zeros((h + 1, w), jnp.float32), (hi, lo))
+    c2d, _ = jax.lax.scan(body, jnp.zeros((hp + 1, w), jnp.float32), (hi, lo))
     return c2d.astype(jnp.int32)
 
 
 def mm_lookup(values: jax.Array, table: jax.Array) -> jax.Array:
     """Per-pixel ``table[values // w, values % w]`` without random gathers:
     one-hot MXU matmuls against the table split into high/low bytes (table
-    entries must be int in [0, 65535] — exact per byte in bf16)."""
+    entries must be int in [0, 65535] — exact per byte in bf16). ``table``
+    must come from :func:`mm_histogram`-shaped bins ([(hp+1), w])."""
     h, w = values.shape
-    hi, lo, bins_h, bins_w = _mm_split(values)
+    hi, lo, bins_h, bins_w, hp = _mm_split(values)
+    if table.shape != (hp + 1, w):
+        raise ValueError(f"table shape {table.shape} != {(hp + 1, w)}")
     tb = jnp.concatenate([table >> 8, table & 255],
-                         axis=1).astype(jnp.bfloat16)  # [(h+1), 2w]
+                         axis=1).astype(jnp.bfloat16)  # [(hp+1), 2w]
 
     def body(_, rows):
         hi_r, lo_r = rows
@@ -198,4 +218,4 @@ def mm_lookup(values: jax.Array, table: jax.Array) -> jax.Array:
         return 0, (hi8 * 256.0 + lo8).astype(jnp.int32)
 
     _, out = jax.lax.scan(body, 0, (hi, lo))
-    return out.reshape(h, w)
+    return out.reshape(hp, w)[:h]

@@ -125,18 +125,20 @@ def postprocess_frame(
         raw = connected_components(interior, connectivity=8)
     # relabel over the h*w+1 seed table: 'matmul' replaces the scatter-add
     # histogram + random gather (the two ops the TPU can't stream; measured
-    # 3.3 + 3.4 ms @512²) with one-hot MXU matmuls — bit-identical output.
-    # 'auto' = matmul where its h%8 chunking holds.
+    # 3.3 + 3.4 ms @512²) with one-hot MXU matmuls — bit-identical output
+    # below 65536 instances, ALL-int32-max above (loud; the mm byte-split
+    # cannot represent larger ids and the output contract is uint16 anyway).
+    # The mm ops pad odd heights internally, so 'auto' is always 'matmul'.
     if relabel_method == "auto":
-        from .ccl import _MM_CH
-
-        relabel_method = "matmul" if h % _MM_CH == 0 else "scatter"
+        relabel_method = "matmul"
     if relabel_method == "matmul":
-        lbl, _ = relabel_compact_mm(raw, min_size=min_cell_size,
-                                    max_size=max_cell_size)
+        lbl, _n1 = relabel_compact_mm(raw, min_size=min_cell_size,
+                                      max_size=max_cell_size)
+        overflowed = _n1 > 65535
     elif relabel_method == "scatter":
         lbl, _ = relabel_compact(raw, min_size=min_cell_size,
                                  max_size=max_cell_size)
+        overflowed = None
     else:
         raise ValueError(f"unknown relabel_method {relabel_method!r}")
 
@@ -157,16 +159,17 @@ def postprocess_frame(
         cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
         inside = ((rows >= fov) & (rows < h - fov) & (cols >= fov) & (cols < w - fov))
         if relabel_method == "matmul":
-            # same scatter/gather-free treatment as the first relabel:
-            # presence histogram + 0/1 lookup table + compacting relabel,
-            # all as one-hot MXU matmuls (r2 session 1 measured the scatter
-            # FOV pass at ~8.5 ms/frame @512² with fov=25)
-            from .ccl import mm_histogram, mm_lookup
+            # scatter/gather-free FOV in ONE histogram + ONE lookup: a label
+            # survives iff it touches the inside region, so the compact ids
+            # derive directly from the touches histogram (keep + raster
+            # cumsum) and a single mm_lookup both filters (dropped -> 0)
+            # and renumbers (r2 session 1 measured the scatter FOV pass at
+            # ~8.5 ms/frame @512² with fov=25)
+            from .ccl import compact_ids_from_keep, mm_histogram, mm_lookup
 
             touches = mm_histogram(jnp.where(inside, lbl, 0))
-            keep2d = ((touches > 0).at[0, 0].set(False)).astype(jnp.int32)
-            lbl = jnp.where(mm_lookup(lbl, keep2d) > 0, lbl, 0)
-            lbl, _ = relabel_compact_mm(lbl)
+            keep2d = (touches > 0).at[0, 0].set(False)
+            lbl = mm_lookup(lbl, compact_ids_from_keep(keep2d))
         else:
             # labels are compact 1..N here (first relabel pass), and the
             # engine's output contract is uint16 instances — 65536 bins
@@ -182,4 +185,9 @@ def postprocess_frame(
         # when fov == 0 the labels are already compact 1..N from the
         # min-size pass (growth adds no ids), so the second relabel pass is
         # skipped entirely — measured ~2 ms/frame @512^2 on v5e (BASELINE.md)
+    if overflowed is not None:
+        # >65535 surviving instances: the mm byte-split ids are invalid, and
+        # downstream consumers cast to uint16 — poison the whole map so the
+        # engine's labels.max() guard raises instead of shipping wrong ids
+        lbl = jnp.where(overflowed, jnp.int32(_INT_MAX), lbl)
     return lbl

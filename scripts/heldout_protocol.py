@@ -13,9 +13,15 @@ Usage:
     python -m lstm_unet_tpu.cli.ctc_sweep --model_path <ckpt> \
         --root_data_dir /tmp/heldout/eval --output_root ... --score_seg
 
-Train distribution: seeds {1,2} (train) / {3} (val), 30 cells, radius 1.0.
-Held-out distribution: seeds {101,102,103}, 20/35/45 cells, radius
-0.8/1.0/1.2 — unseen seeds AND a shifted density/size distribution.
+Two protocol versions, reported separately in BASELINE.md (the claims
+differ):
+
+- v1 (sequences 01–03): train ONLY on 30 cells / radius 1.0; the eval
+  configs (20/0.8, 35/1.0, 45/1.2) are unseen seeds AND a shifted
+  density/size distribution — an out-of-distribution generalization score.
+- v2 (adds 04–06): the training set covers the eval density/size range, so
+  the holdout is seed-only (matched distribution, unseen data) — the
+  standard train/test split claim, NOT a distribution-shift claim.
 """
 
 from __future__ import annotations

@@ -352,7 +352,10 @@ def test_relabel_mm_matches_scatter():
         connected_components, relabel_compact, relabel_compact_mm)
 
     rng = np.random.default_rng(7)
-    for h, w, p in ((16, 16, 0.3), (64, 32, 0.6), (32, 48, 0.45)):
+    # odd heights (12, 45) exercise the internal row padding — real CTC
+    # frames (e.g. 690x628) are not chunk multiples
+    for h, w, p in ((16, 16, 0.3), (64, 32, 0.6), (32, 48, 0.45),
+                    (12, 16, 0.5), (45, 24, 0.4)):
         raw = connected_components(jnp.asarray(rng.random((h, w)) < p),
                                    connectivity=8)
         for ms, xs in ((0, 0), (3, 0), (2, 20)):
@@ -360,8 +363,19 @@ def test_relabel_mm_matches_scatter():
             b, nb = relabel_compact_mm(raw, min_size=ms, max_size=xs)
             assert int(na) == int(nb)
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    with pytest.raises(ValueError, match="h % 16"):
-        relabel_compact_mm(jnp.zeros((12, 16), jnp.int32))
+
+
+def test_relabel_mm_overflow_is_loud():
+    """>65535 surviving components exceed the byte-split id range (and the
+    uint16 output contract): the count stays exact and the label map is
+    poisoned to int32 max so a downstream uint16 cast guard trips."""
+    from lstm_unet_tpu.ops.ccl import relabel_compact_mm
+
+    h, w = 256, 320  # 81920 single-pixel components
+    labels = (np.arange(h * w, dtype=np.int32) + 1).reshape(h, w)
+    out, n = relabel_compact_mm(jnp.asarray(labels))
+    assert int(n) == h * w
+    assert int(jnp.min(out)) == np.iinfo(np.int32).max
 
 
 def test_postprocess_fov_matmul_matches_scatter():
