@@ -132,6 +132,45 @@ def tiny_model():
     return cfg, params
 
 
+def test_bundle_multi_shard_read(tmp_path):
+    """Real TF checkpoints can span several .data-XXXXX-of-NNNNN shards;
+    the reader resolves shard_id per entry (writer emits single-shard, so
+    the shard files + index are fabricated here)."""
+    import struct
+
+    from lstm_unet_tpu.checkpoint.tf_bundle import (
+        TableWriter, _emit_field, masked_crc32c)
+
+    prefix = str(tmp_path / "ms.ckpt")
+    a = np.arange(6, dtype=np.float32)
+    b = np.arange(8, dtype=np.int32).reshape(2, 4)
+    open(f"{prefix}.data-00000-of-00002", "wb").write(a.tobytes())
+    open(f"{prefix}.data-00001-of-00002", "wb").write(b.tobytes())
+
+    w = TableWriter(prefix + ".index")
+    header = _emit_field(1, 0, 2)  # num_shards = 2
+    w.add(b"", header)
+
+    def entry(dtype_code, shape, shard, size, buf):
+        msg = _emit_field(1, 0, dtype_code)
+        dims = b"".join(_emit_field(2, 2, _emit_field(1, 0, d)) for d in shape)
+        msg += _emit_field(2, 2, dims)
+        if shard:
+            msg += _emit_field(3, 0, shard)
+        msg += _emit_field(5, 0, size)
+        msg += _emit_field(6, 0, masked_crc32c(buf))
+        return msg
+
+    w.add(b"alpha", entry(1, (6,), 0, a.nbytes, a.tobytes()))
+    w.add(b"beta", entry(3, (2, 4), 1, b.nbytes, b.tobytes()))
+    w.finish()
+
+    bundle = TFBundle.open(prefix)
+    assert bundle.num_shards == 2
+    np.testing.assert_array_equal(bundle.load("alpha", verify_crc=True), a)
+    np.testing.assert_array_equal(bundle.load("beta", verify_crc=True), b)
+
+
 def test_import_keras_checkpoint(tmp_path, tiny_model):
     cfg, params = tiny_model
     prefix = str(tmp_path / "tf_ckpt")
