@@ -219,9 +219,17 @@ class StreamingInferenceEngine:
 
             frame = jax.vmap(norm)(frame)
             if jump_thresh > 0:
-                # per-lane mean abs frame delta; prev starts NaN -> the
-                # comparison is False on the first frame (no reset)
-                jumps = jnp.mean(jnp.abs(frame - prev), axis=(1, 2, 3))
+                # per-lane mean abs delta of the normalized frames, CLIPPED
+                # to the nominal [0,1] range first: low-contrast (no-signal)
+                # frames amplify noise through the percentile divide, and
+                # clipping bounds their delta to ~0.5 instead of arbitrary
+                # magnitude — blank gaps still read as cuts (intended: a
+                # blank stretch IS a scene cut) but thresholds stay
+                # meaningful. prev starts NaN -> the comparison is False on
+                # the first frame (no reset).
+                a = jnp.clip(frame, 0.0, 1.0)
+                b = jnp.clip(prev, 0.0, 1.0)
+                jumps = jnp.mean(jnp.abs(a - b), axis=(1, 2, 3))
                 state = ULSTMnet2D.reset_lanes(
                     state, (jumps > jump_thresh).astype(jnp.float32))
             new_state, logits = ULSTMnet2D.step(params, state, frame, self.cfg)
@@ -266,21 +274,17 @@ class StreamingInferenceEngine:
             if spatial_n > 1 and not spatial_ok:
                 log_print(f"mesh: H={h} not divisible by spatial={spatial_n}"
                           f"*2^{self.cfg.nkp.depth} — replicating the H dim")
+        state = ULSTMnet2D.init_state(self.cfg, batch, h, w)
+        if jump_thresh > 0:
+            state = (state, jnp.full((batch, h, w, 1), jnp.nan, jnp.float32))
+        if self.mesh is not None:
             spec = P("data" if data_ok else None,
                      "spatial" if spatial_ok else None)
             params_dev = self._shard(self._cast_params(self.params), P())
-            state = ULSTMnet2D.init_state(self.cfg, batch, h, w)
-            if jump_thresh > 0:
-                state = (state,
-                         jnp.full((batch, h, w, 1), jnp.nan, jnp.float32))
             state = self._shard(state, spec)
             self._frame_spec = spec
         else:
             params_dev = jax.device_put(self._cast_params(self.params))
-            state = ULSTMnet2D.init_state(self.cfg, batch, h, w)
-            if jump_thresh > 0:
-                state = (state,
-                         jnp.full((batch, h, w, 1), jnp.nan, jnp.float32))
             self._frame_spec = None
         self._params_dev = params_dev
         self._step = lambda s, frame: step(self._params_dev, s, frame)

@@ -136,9 +136,12 @@ def postprocess_frame(
                                       max_size=max_cell_size)
         overflowed = _n1 > 65535
     elif relabel_method == "scatter":
-        lbl, _ = relabel_compact(raw, min_size=min_cell_size,
-                                 max_size=max_cell_size)
-        overflowed = None
+        lbl, _n1 = relabel_compact(raw, min_size=min_cell_size,
+                                   max_size=max_cell_size)
+        # the scatter FOV pass below clamps ids into 65536 bins (silently
+        # merging instances past the uint16 contract) — poison that case
+        # loudly too, symmetric with the matmul branch
+        overflowed = _n1 > 65535
     else:
         raise ValueError(f"unknown relabel_method {relabel_method!r}")
 
@@ -185,9 +188,9 @@ def postprocess_frame(
         # when fov == 0 the labels are already compact 1..N from the
         # min-size pass (growth adds no ids), so the second relabel pass is
         # skipped entirely — measured ~2 ms/frame @512^2 on v5e (BASELINE.md)
-    if overflowed is not None:
-        # >65535 surviving instances: the mm byte-split ids are invalid, and
-        # downstream consumers cast to uint16 — poison the whole map so the
-        # engine's labels.max() guard raises instead of shipping wrong ids
-        lbl = jnp.where(overflowed, jnp.int32(_INT_MAX), lbl)
+    # >65535 surviving instances: mm byte-split ids (and the scatter FOV
+    # bin clamp) are invalid past the uint16 output contract — poison the
+    # whole map so the engine's labels.max() guard raises instead of
+    # shipping silently wrong ids
+    lbl = jnp.where(overflowed, jnp.int32(_INT_MAX), lbl)
     return lbl

@@ -136,8 +136,6 @@ def test_bundle_multi_shard_read(tmp_path):
     """Real TF checkpoints can span several .data-XXXXX-of-NNNNN shards;
     the reader resolves shard_id per entry (writer emits single-shard, so
     the shard files + index are fabricated here)."""
-    import struct
-
     from lstm_unet_tpu.checkpoint.tf_bundle import (
         TableWriter, _emit_field, masked_crc32c)
 
