@@ -79,9 +79,13 @@ def main(argv=None) -> None:
     if args.get("class_weights"):
         args["class_weights"] = tuple(args["class_weights"])
     params.override(**args)
-    params.resolve_dirs()
+    # dir resolution is the Trainer's job: for continue_run WITHOUT an
+    # explicit load path it must reuse the latest matching experiment dir —
+    # resolving a fresh timestamped dir here would leave no checkpoint for
+    # _restore (the CLI half of ADVICE r1, caught resuming on real TPU)
+    trainer = Trainer(params, seed=seed)
     log_print(f"training: save_dir={params.experiment_save_dir}")
-    Trainer(params, seed=seed).train()
+    trainer.train()
 
 
 if __name__ == "__main__":

@@ -82,3 +82,42 @@ def test_import_tf_parser_surface(tmp_path):
     write_bundle(prefix, {"a/kernel": np.zeros((2, 2), np.float32)})
     import_main(["--tf_prefix", prefix, "--output_dir", str(tmp_path / "o"),
                  "--list"])
+
+
+def test_train2d_cli_continue_run_reuses_dir(tmp_path):
+    """The CLI must NOT pre-resolve a fresh timestamped dir when
+    --continue_run has no explicit load path — the Trainer reuses the
+    latest matching experiment dir (caught resuming a real TPU run: the
+    r1 fix covered only the library path, not the CLI)."""
+    import json
+    import os
+
+    from lstm_unet_tpu.cli.train2d import main as train_main
+    from lstm_unet_tpu.config import tiny_net_kernel_params
+    from lstm_unet_tpu.io.synthetic import write_ctc_dataset
+
+    root = str(tmp_path / "data")
+    write_ctc_dataset(root, num_frames=8, height=32, width=32, num_cells=3,
+                      seed=2)
+    nkp = json.dumps(tiny_net_kernel_params().to_dict())
+    common = [
+        "--root_data_dir", root,
+        "--train_sequence_list", "Synth-N2DH-SIM:01",
+        "--root_save_dir", str(tmp_path / "runs"),
+        "--experiment_name", "cli_resume",
+        "--net_kernel_params", nkp,
+        "--crop_size", "32", "32", "--batch_size", "2", "--unroll_len", "2",
+        "--validation_interval", "1000000",
+        "--print_to_console_interval", "1000000",
+        "--write_to_tb_interval", "1000000",
+        "--save_checkpoint_iteration", "4",
+    ]
+    train_main(common + ["--num_iterations", "4"])
+    runs = os.listdir(str(tmp_path / "runs"))
+    assert len(runs) == 1
+    train_main(common + ["--num_iterations", "6", "--continue_run"])
+    runs_after = os.listdir(str(tmp_path / "runs"))
+    assert runs_after == runs, "continue_run must reuse the existing dir"
+    ckpt = os.path.join(str(tmp_path / "runs"), runs[0], "ckpt")
+    steps = sorted(d for d in os.listdir(ckpt) if d.isdigit())
+    assert "4" in steps and any(int(s) > 4 for s in steps), steps
