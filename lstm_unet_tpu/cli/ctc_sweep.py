@@ -72,6 +72,12 @@ def main(argv=None) -> None:
                          "act_scales.json into --model_path)")
     args = ap.parse_args(argv)
 
+    if args.calibrate and args.dtype != "int8":
+        # calibration writes act_scales.json into --model_path; only the
+        # int8 path ever reads it — don't mutate the model dir for a run
+        # that never uses the scales (ADVICE r2)
+        log_print(f"--calibrate ignored: dtype={args.dtype} (int8 only)")
+        args.calibrate = 0
     if args.calibrate:
         from ..engine.infer import calibrate_model_dir
 

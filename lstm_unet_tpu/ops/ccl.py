@@ -183,6 +183,13 @@ def mm_histogram(values: jax.Array) -> jax.Array:
     (s // w, s % w); row padding inflates only bin (0, 0)), computed as
     chunked ``one_hot(hi)^T @ one_hot(lo)`` MXU matmuls — no scatter. 0/1
     bf16 operands with f32 accumulation are exact for counts < 2^24."""
+    # f32 accumulation is exact only below 2^24 per bin; a single component
+    # larger than ~16.7M pixels (frames beyond ~4096x4096) would silently
+    # corrupt the size filters. Static shapes make this check free.
+    if values.shape[0] * values.shape[1] >= 2 ** 24:
+        raise ValueError(
+            f"mm_histogram: frame {values.shape} has >= 2^24 pixels; f32 "
+            "accumulation would be inexact — use relabel_method='scatter'")
     hi, lo, bins_h, bins_w, hp = _mm_split(values)
     w = values.shape[1]
 

@@ -128,9 +128,13 @@ def postprocess_frame(
     # 3.3 + 3.4 ms @512²) with one-hot MXU matmuls — bit-identical output
     # below 65536 instances, ALL-int32-max above (loud; the mm byte-split
     # cannot represent larger ids and the output contract is uint16 anyway).
-    # The mm ops pad odd heights internally, so 'auto' is always 'matmul'.
+    # The mm ops pad odd heights internally, so 'auto' is 'matmul' wherever
+    # an MXU exists; on the CPU/XLA fallback the dense one-hot contraction
+    # is much slower than scatter (outputs are bit-identical either way), so
+    # 'auto' dispatches on the backend (ADVICE r2).
     if relabel_method == "auto":
-        relabel_method = "matmul"
+        relabel_method = ("scatter" if jax.default_backend() == "cpu"
+                          else "matmul")
     if relabel_method == "matmul":
         lbl, _n1 = relabel_compact_mm(raw, min_size=min_cell_size,
                                       max_size=max_cell_size)

@@ -101,6 +101,49 @@ def test_sweep_batches_similar_lengths(trained, tmp_path, monkeypatch):
     assert calls == [["01", "03"], ["02"]]  # lengths 4,5 | 10
 
 
+@pytest.mark.parametrize("poison_live", [False, True])
+def test_overflow_check_is_per_surviving_lane(trained, tmp_path, monkeypatch,
+                                              poison_live):
+    """A poisoned (>uint16) overflow map on an EXHAUSTED lane (its output is
+    discarded) must not abort the surviving lanes' stream; a poisoned LIVE
+    lane must still abort (VERDICT r2 weak #7)."""
+    from lstm_unet_tpu.engine.infer import StreamingInferenceEngine
+
+    root, ckpt = trained
+    # lane 0 = 6 frames (exhausts first), lane 1 = 8 frames
+    seqs = [os.path.join(root, "Synth-N2DH-SIM", "02"),
+            os.path.join(root, "Synth-N2DH-SIM", "01")]
+    ip = CTCInferenceParams(model_path=ckpt, min_cell_size=5,
+                            pre_sequence_frames=0, dtype="float32")
+
+    orig_build = StreamingInferenceEngine._build
+    steps = [0]
+
+    def build(self, oh, ow, batch=1):
+        orig_build(self, oh, ow, batch)
+        orig_step = self._step
+
+        def step(state, x):
+            s, labels, probs = orig_step(state, x)
+            steps[0] += 1
+            if poison_live:
+                labels = labels.at[1].set(2 ** 31 - 1)  # live lane
+            elif steps[0] > 6:  # lane 0 exhausted from step 7 on
+                labels = labels.at[0].set(2 ** 31 - 1)
+            return s, labels, probs
+
+        self._step = step
+
+    monkeypatch.setattr(StreamingInferenceEngine, "_build", build)
+    outs = [str(tmp_path / "o0"), str(tmp_path / "o1")]
+    if poison_live:
+        with pytest.raises(ValueError, match="lane 1"):
+            run_inference_batched(ip, seqs, outs)
+    else:
+        assert run_inference_batched(ip, seqs, outs) == 6 + 8
+        assert len(glob.glob(os.path.join(outs[1], "mask*.tif"))) == 8
+
+
 def test_inference_deterministic(trained, tmp_path):
     """Golden invariant: identical inputs → bit-identical masks."""
     root, ckpt = trained

@@ -25,10 +25,9 @@ def test_crc32c_known_vectors():
 
 
 def test_snappy_literal_and_copy():
-    # literal "abcd" then a 4-byte copy at offset 4 -> "abcdabcd"
-    payload = bytes([8]) + bytes([(3 << 2) | 0]) + b"abcd" + bytes(
-        [(1 << 2) | ((4 - 4) << 2) | 1, 4])
-    # tag byte for copy-1: ((len-4)&7)<<2 | 1, offset high bits <<5
+    # literal "abcd" then a 4-byte copy at offset 4 -> "abcdabcd":
+    # uncompressed length varint (8), literal tag ((len-1)<<2 | 0), data,
+    # copy-1 tag (((len-4)&7)<<2 | 1 with offset high bits <<5), offset byte
     payload = bytes([8, (3 << 2) | 0]) + b"abcd" + bytes([1, 4])
     assert snappy_decompress(payload) == b"abcdabcd"
 
