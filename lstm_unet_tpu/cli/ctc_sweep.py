@@ -52,6 +52,11 @@ def main(argv=None) -> None:
     ap.add_argument("--boundary_growth", type=str, default="marker",
                     choices=["marker", "dilate", "none"])
     ap.add_argument("--grow_iters", type=int, default=0)
+    ap.add_argument("--instance_split", action="store_true",
+                    help="split merged components of touching cells along "
+                         "their distance-transform ridge")
+    ap.add_argument("--split_window", type=int, default=8)
+    ap.add_argument("--split_min_dist", type=int, default=4)
     ap.add_argument("--pre_sequence_frames", type=int, default=4)
     ap.add_argument("--dtype", type=str, default="bfloat16")
     ap.add_argument("--state_dtype", type=str, default="auto",
@@ -92,7 +97,8 @@ def main(argv=None) -> None:
         model_path=args.model_path, min_cell_size=args.min_cell_size,
         FOV=args.FOV, cell_thresh=args.cell_thresh,
         edge_thresh=args.edge_thresh, boundary_growth=args.boundary_growth,
-        grow_iters=args.grow_iters,
+        grow_iters=args.grow_iters, instance_split=args.instance_split,
+        split_window=args.split_window, split_min_dist=args.split_min_dist,
         pre_sequence_frames=args.pre_sequence_frames,
         dtype=args.dtype, state_dtype=args.state_dtype,
         fused_cell=args.fused_cell, reset_on_jump=args.reset_on_jump)

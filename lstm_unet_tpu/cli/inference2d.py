@@ -31,6 +31,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--boundary_growth", type=str,
                     choices=["marker", "dilate", "none"])
     ap.add_argument("--grow_iters", type=int)
+    ap.add_argument("--instance_split", action="store_true", default=None,
+                    help="split merged components of touching cells along "
+                         "their distance-transform ridge")
+    ap.add_argument("--split_window", type=int)
+    ap.add_argument("--split_min_dist", type=int)
     ap.add_argument("--pre_sequence_frames", type=int)
     ap.add_argument("--save_intermediate", action="store_true", default=None)
     ap.add_argument("--save_intermediate_path", type=str)

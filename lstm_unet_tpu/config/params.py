@@ -319,6 +319,14 @@ class CTCInferenceParams(ParamsBase):
     # (0 = exhaustion for 'marker', 3 for 'dilate').
     boundary_growth: str = "marker"
     grow_iters: int = 0
+    # split merged components of touching cells along their distance-
+    # transform ridge (ops/postprocess.py::split_touching_instances) —
+    # watershed-style separation of touching cells (SURVEY.md §3.2 [M] at
+    # its real intent). Off by default for reference parity; the quality
+    # recipe for dense/occluded data enables it.
+    instance_split: bool = False
+    split_window: int = 8      # regional-max window radius (px)
+    split_min_dist: int = 4    # min distance-to-background for a marker (px)
     pre_sequence_frames: int = 4   # LSTM warm-up: initial frames fed reversed [M]
     save_intermediate: bool = False
     save_intermediate_path: str = ""

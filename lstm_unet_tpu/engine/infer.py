@@ -287,6 +287,9 @@ class StreamingInferenceEngine:
                     fov=ip.FOV,
                     boundary_growth=ip.boundary_growth,
                     grow_iters=ip.grow_iters,
+                    instance_split=getattr(ip, "instance_split", False),
+                    split_window=getattr(ip, "split_window", 8),
+                    split_min_dist=getattr(ip, "split_min_dist", 4),
                 )
             )(probs)
             if not ip.save_intermediate:

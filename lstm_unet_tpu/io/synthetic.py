@@ -26,6 +26,7 @@ def make_cell_sequence(
     noise: float = 0.05,
     radius_scale: float = 1.0,
     velocity_scale: float = 1.0,
+    overlap_frac: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Return (images [T,H,W] uint16, labels [T,H,W] uint16) of drifting cells.
 
@@ -33,6 +34,12 @@ def make_cell_sequence(
     vary it (with seed and num_cells) to build unseen distributions.
     ``velocity_scale`` scales per-frame drift — very long single-sequence
     streams (carry-drift protocol) use a small value so cells stay in frame.
+    ``overlap_frac`` places that fraction of cells adjacent to (touching /
+    partially occluding) a previously placed cell, moving WITH its anchor so
+    the contact persists across frames — the occlusion-heavy regime whose
+    faint inter-cell boundaries cap the postprocess oracle (BASELINE.md;
+    VERDICT r2 task #8). 0 keeps the draw order bit-identical to r1/r2
+    sequences of the same seed.
     """
     rng = np.random.default_rng(seed)
     cy = rng.uniform(0.2 * height, 0.8 * height, num_cells)
@@ -42,6 +49,21 @@ def make_cell_sequence(
     ry = rng.uniform(height * 0.06, height * 0.12, num_cells) * radius_scale
     rx = rng.uniform(width * 0.06, width * 0.12, num_cells) * radius_scale
     inten = rng.uniform(0.5, 1.0, num_cells)
+    if overlap_frac > 0:
+        # re-place the LAST n_ov cells next to random earlier anchors; extra
+        # rng draws happen only in this branch so overlap_frac=0 reproduces
+        # historical sequences exactly
+        n_ov = min(int(round(num_cells * overlap_frac)), num_cells - 1)
+        for c in range(num_cells - n_ov, num_cells):
+            j = int(rng.integers(0, c))
+            ang = rng.uniform(0.0, 2.0 * np.pi)
+            gap = rng.uniform(0.55, 1.05)  # <1: overlap, ~1: touching
+            cy[c] = np.clip(cy[j] + np.sin(ang) * gap * (ry[j] + ry[c]),
+                            0.1 * height, 0.9 * height)
+            cx[c] = np.clip(cx[j] + np.cos(ang) * gap * (rx[j] + rx[c]),
+                            0.1 * width, 0.9 * width)
+            # drift with the anchor: the contact survives the whole sequence
+            vy[c], vx[c] = vy[j], vx[j]
 
     yy, xx = np.mgrid[0:height, 0:width]
     imgs = np.zeros((num_frames, height, width), np.float32)

@@ -78,11 +78,87 @@ def grow_into_band(lbl: jax.Array, band: jax.Array, max_rounds: int = 0
     return lbl
 
 
+def _erode(mask: jax.Array) -> jax.Array:
+    """8-neighborhood binary erosion; the image border counts as background
+    (cells clipped by the frame edge erode from the edge too)."""
+    p = jnp.pad(mask, 1, constant_values=False)
+    h, w = mask.shape
+    out = mask
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            out = out & jax.lax.dynamic_slice(p, (1 + dy, 1 + dx), (h, w))
+    return out
+
+
+def chebyshev_distance(mask: jax.Array, max_iters: int = 0) -> jax.Array:
+    """Chebyshev (8-connected) distance to background for each mask pixel
+    (0 outside the mask, 1 on the component border) via iterated erosion —
+    an early-exit while_loop of cheap VPU shift/and ops, O(max cell radius)
+    rounds. ``max_iters`` caps the rounds (0 = until the mask erodes away)."""
+    h, w = mask.shape
+    mask = mask.astype(bool)
+    bound = max_iters or max(h, w)
+
+    def cond(state):
+        m, _, it = state
+        return jnp.any(m) & (it < bound)
+
+    def body(state):
+        m, d, it = state
+        m2 = _erode(m)
+        return m2, d + m2.astype(jnp.int32), it + 1
+
+    _, dist, _ = jax.lax.while_loop(
+        cond, body, (mask, mask.astype(jnp.int32), jnp.int32(0)))
+    return dist
+
+
+def split_touching_instances(lbl: jax.Array, interior: jax.Array,
+                             window: int = 8, min_dist: int = 4,
+                             use_pallas_ccl: bool = False) -> jax.Array:
+    """Partition merged components of touching cells along their distance
+    ridge (SURVEY.md §3.2 watershed-style postprocess [M], at its real
+    intent: separating touching cells; VERDICT r2 task #1).
+
+    Markers are the regional maxima of the Chebyshev distance transform of
+    ``interior`` — pixels equal to their ``(2*window+1)²`` window max and at
+    least ``min_dist`` from background (suppresses rim/noise maxima). Each
+    marker plateau is one CCL seed; seeds then claim the whole interior by
+    simultaneous-BFS nearest-marker growth (:func:`grow_into_band`), so a
+    merged blob of N touching cells with N distance maxima splits along the
+    equidistant ridge between them. A component with a single maximum is
+    reproduced exactly (all its pixels reach its one marker). Components
+    with NO marker (everywhere closer than ``min_dist`` to background) keep
+    their ORIGINAL label: growth cannot cross background, so per-pixel
+    fallback equals per-component fallback; seed ids are min linear pixel
+    indices of disjoint pixel sets (markers vs marker-less components) and
+    therefore never collide.
+
+    ``lbl`` must be the raw (or compact) CCL labeling of ``interior``;
+    returns a new int32 labeling of the same support, ids NOT compact —
+    follow with the relabel/size-filter pass.
+    """
+    dist = chebyshev_distance(interior)
+    wmax = dist
+    for _ in range(window):
+        wmax = _neighbor_max(wmax)
+    markers = interior & (dist == wmax) & (dist >= min_dist)
+    if use_pallas_ccl:
+        seeds = connected_components_pallas(markers)
+    else:
+        seeds = connected_components(markers, connectivity=8)
+    grown = grow_into_band(seeds, interior, max_rounds=0)
+    return jnp.where(grown > 0, grown, jnp.where(lbl > 0, lbl, 0))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cell_thresh", "edge_thresh", "min_cell_size",
                      "max_cell_size", "fov", "boundary_growth", "grow_iters",
-                     "use_pallas_ccl", "relabel_method"),
+                     "use_pallas_ccl", "relabel_method", "instance_split",
+                     "split_window", "split_min_dist"),
 )
 def postprocess_frame(
     probs: jax.Array,
@@ -95,12 +171,19 @@ def postprocess_frame(
     grow_iters: int = 0,
     use_pallas_ccl: bool = False,
     relabel_method: str = "auto",
+    instance_split: bool = False,
+    split_window: int = 8,
+    split_min_dist: int = 4,
 ) -> jax.Array:
     """3-class probabilities [H,W,3] → instance labels [H,W] int32.
 
     Steps (reference order, SURVEY.md §3.2 [M]):
       1. interior mask  = p(cell) > cell_thresh
       2. 8-connected components on interior
+      2b. optional ``instance_split``: partition components with multiple
+          distance-transform maxima (touching cells whose shared boundary
+          the model missed) via :func:`split_touching_instances` — default
+          off for reference parity
       3. drop components outside [min_cell_size, max_cell_size]
       4. grow surviving labels into the boundary band (pixels with
          p(boundary) > edge_thresh): ``boundary_growth='marker'`` (default)
@@ -123,6 +206,10 @@ def postprocess_frame(
         raw = connected_components_pallas(interior)
     else:
         raw = connected_components(interior, connectivity=8)
+    if instance_split:
+        raw = split_touching_instances(raw, interior, window=split_window,
+                                       min_dist=split_min_dist,
+                                       use_pallas_ccl=use_pallas_ccl)
     # relabel over the h*w+1 seed table: 'matmul' replaces the scatter-add
     # histogram + random gather (the two ops the TPU can't stream; measured
     # 3.3 + 3.4 ms @512²) with one-hot MXU matmuls — bit-identical output

@@ -1,2 +1,9 @@
-from .mesh import make_mesh, data_sharding, replicated_sharding, shard_batch  # noqa: F401
+from .mesh import (  # noqa: F401
+    data_sharding,
+    make_mesh,
+    mesh_axis_sizes,
+    replicated_sharding,
+    shard_batch,
+    shard_state,
+)
 from .distributed import initialize  # noqa: F401

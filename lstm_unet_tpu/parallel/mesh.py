@@ -48,7 +48,43 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def mesh_axis_sizes(mesh: Mesh) -> Dict[str, int]:
+    return dict(zip(mesh.axis_names, mesh.devices.shape))
+
+
+def _put_tree(mesh: Mesh, tree, spatial_axis_of):
+    """device_put each leaf: axis 0 over 'data' (when divisible), and the
+    leaf's spatial axis (per ``spatial_axis_of(ndim)``, -1 = none) over
+    'spatial' when the mesh has one and the dim divides evenly. Indivisible
+    dims replicate (graceful degradation, same policy as the inference
+    engine's mesh handling)."""
+    sizes = mesh_axis_sizes(mesh)
+    dn, sn = sizes.get("data", 1), sizes.get("spatial", 1)
+
+    def put(x):
+        nd = np.ndim(x)
+        spec = [None] * nd
+        if nd >= 1 and dn > 1 and np.shape(x)[0] % dn == 0:
+            spec[0] = "data"
+        sa = spatial_axis_of(nd)
+        if sa >= 0 and sa < nd and sn > 1 and np.shape(x)[sa] % sn == 0:
+            spec[sa] = "spatial"
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+    return jax.tree_util.tree_map(put, tree)
+
+
 def shard_batch(mesh: Mesh, tree):
-    """device_put every leaf with its batch axis 0 sharded over 'data'."""
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x))), tree)
+    """Shard a data batch: axis 0 over 'data'; for rank>=4 leaves
+    ([B,T,H,W] seg / [B,T,H,W,C] img) the H axis (2) over 'spatial'.
+    Rank<4 leaves (valid/full_seg/is_last vectors) shard batch only."""
+    return _put_tree(mesh, tree, lambda nd: 2 if nd >= 4 else -1)
+
+
+def shard_state(mesh: Mesh, tree):
+    """Shard a ConvLSTM state pytree (leaves [B, h_l, w_l, F]): batch over
+    'data', per-level height (axis 1) over 'spatial' — the same placement
+    ``__graft_entry__.dryrun_multichip`` builds by hand. Per-leaf
+    divisibility checks mean every level of a dp+sp-shardable model shards;
+    a level whose h_l stops dividing replicates that leaf."""
+    return _put_tree(mesh, tree, lambda nd: 1 if nd >= 4 else -1)

@@ -34,35 +34,47 @@ from lstm_unet_tpu.io.synthetic import write_ctc_dataset
 SIZE = 512
 DATASET = "Synth-N2DH-SIM"
 
-TRAIN = [  # (seq, seed, num_cells, radius_scale, frames)
-    ("01", 1, 30, 1.0, 100),
-    ("02", 2, 30, 1.0, 100),
-    ("03", 3, 30, 1.0, 40),  # validation
+TRAIN = [  # (seq, seed, num_cells, radius_scale, frames, overlap_frac)
+    ("01", 1, 30, 1.0, 100, 0.0),
+    ("02", 2, 30, 1.0, 100, 0.0),
+    ("03", 3, 30, 1.0, 40, 0.0),  # validation
     # protocol v2 (round-2 session 2): broaden the TRAINING distribution to
     # cover the density/size range; eval seeds stay unseen. v1 trained only
     # on 30-cell/1.0 and was scored out-of-distribution on density.
-    ("04", 4, 20, 0.8, 100),
-    ("05", 5, 35, 1.0, 100),
-    ("06", 6, 45, 1.2, 100),
+    ("04", 4, 20, 0.8, 100, 0.0),
+    ("05", 5, 35, 1.0, 100, 0.0),
+    ("06", 6, 45, 1.2, 100, 0.0),
+    # protocol v3 (round 3): occlusion-heavy regime — half the cells placed
+    # touching/overlapping an anchor and drifting with it, so persistent
+    # faint inter-cell boundaries are abundant in training (VERDICT r2 task
+    # #8: the held-out gap tracks occlusion, not density). Eval sequences
+    # are UNCHANGED from v1/v2 so scores stay directly comparable.
+    ("07", 7, 35, 1.0, 100, 0.5),
+    ("08", 8, 45, 1.2, 100, 0.5),
+    ("09", 9, 50, 1.1, 100, 0.4),
 ]
 HELDOUT = [
-    ("01", 101, 20, 0.8, 40),
-    ("02", 102, 35, 1.0, 40),
-    ("03", 103, 45, 1.2, 40),
+    ("01", 101, 20, 0.8, 40, 0.0),
+    ("02", 102, 35, 1.0, 40, 0.0),
+    ("03", 103, 45, 1.2, 40, 0.0),
 ]
 
 
 def gen(root: str) -> None:
-    for seq, seed, n, rs, frames in TRAIN:
+    for seq, seed, n, rs, frames, ov in TRAIN:
         write_ctc_dataset(os.path.join(root, "train"), dataset=DATASET,
                           seq=seq, num_frames=frames, height=SIZE, width=SIZE,
-                          num_cells=n, seed=seed, radius_scale=rs)
-        print(f"train/{DATASET}/{seq}: seed={seed} cells={n} rs={rs} T={frames}")
-    for seq, seed, n, rs, frames in HELDOUT:
+                          num_cells=n, seed=seed, radius_scale=rs,
+                          overlap_frac=ov)
+        print(f"train/{DATASET}/{seq}: seed={seed} cells={n} rs={rs} "
+              f"T={frames} ov={ov}")
+    for seq, seed, n, rs, frames, ov in HELDOUT:
         write_ctc_dataset(os.path.join(root, "eval"), dataset=DATASET,
                           seq=seq, num_frames=frames, height=SIZE, width=SIZE,
-                          num_cells=n, seed=seed, radius_scale=rs)
-        print(f"eval/{DATASET}/{seq}: seed={seed} cells={n} rs={rs} T={frames}")
+                          num_cells=n, seed=seed, radius_scale=rs,
+                          overlap_frac=ov)
+        print(f"eval/{DATASET}/{seq}: seed={seed} cells={n} rs={rs} "
+              f"T={frames} ov={ov}")
 
 
 def main() -> None:
