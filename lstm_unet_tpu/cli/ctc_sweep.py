@@ -55,8 +55,11 @@ def main(argv=None) -> None:
     ap.add_argument("--instance_split", action="store_true",
                     help="split merged components of touching cells along "
                          "their distance-transform ridge")
-    ap.add_argument("--split_window", type=int, default=8)
+    ap.add_argument("--split_window", type=int, default=16)
     ap.add_argument("--split_min_dist", type=int, default=4)
+    ap.add_argument("--split_slack", type=int, default=1)
+    ap.add_argument("--split_rel", type=float, default=0.65)
+    ap.add_argument("--split_rel_window", type=int, default=48)
     ap.add_argument("--pre_sequence_frames", type=int, default=4)
     ap.add_argument("--dtype", type=str, default="bfloat16")
     ap.add_argument("--state_dtype", type=str, default="auto",
@@ -99,6 +102,8 @@ def main(argv=None) -> None:
         edge_thresh=args.edge_thresh, boundary_growth=args.boundary_growth,
         grow_iters=args.grow_iters, instance_split=args.instance_split,
         split_window=args.split_window, split_min_dist=args.split_min_dist,
+        split_slack=args.split_slack, split_rel=args.split_rel,
+        split_rel_window=args.split_rel_window,
         pre_sequence_frames=args.pre_sequence_frames,
         dtype=args.dtype, state_dtype=args.state_dtype,
         fused_cell=args.fused_cell, reset_on_jump=args.reset_on_jump)

@@ -325,8 +325,11 @@ class CTCInferenceParams(ParamsBase):
     # its real intent). Off by default for reference parity; the quality
     # recipe for dense/occluded data enables it.
     instance_split: bool = False
-    split_window: int = 8      # regional-max window radius (px)
+    split_window: int = 16     # regional-max window radius (px)
     split_min_dist: int = 4    # min distance-to-background for a marker (px)
+    split_slack: int = 1       # h-maxima tolerance bridging DT terraces (px)
+    split_rel: float = 0.65    # marker must reach rel * wider-window max
+    split_rel_window: int = 48  # the wider window for the relative rule (px)
     pre_sequence_frames: int = 4   # LSTM warm-up: initial frames fed reversed [M]
     save_intermediate: bool = False
     save_intermediate_path: str = ""

@@ -78,17 +78,17 @@ def grow_into_band(lbl: jax.Array, band: jax.Array, max_rounds: int = 0
     return lbl
 
 
-def _erode(mask: jax.Array) -> jax.Array:
-    """8-neighborhood binary erosion; the image border counts as background
-    (cells clipped by the frame edge erode from the edge too)."""
+def _erode(mask: jax.Array, connectivity: int = 8) -> jax.Array:
+    """Binary erosion (8- or 4-neighborhood); the image border counts as
+    background (cells clipped by the frame edge erode from the edge too)."""
     p = jnp.pad(mask, 1, constant_values=False)
     h, w = mask.shape
     out = mask
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            if dy == 0 and dx == 0:
-                continue
-            out = out & jax.lax.dynamic_slice(p, (1 + dy, 1 + dx), (h, w))
+    shifts = [(0, 1), (0, -1), (1, 0), (-1, 0)]
+    if connectivity == 8:
+        shifts += [(1, 1), (1, -1), (-1, 1), (-1, -1)]
+    for dy, dx in shifts:
+        out = out & jax.lax.dynamic_slice(p, (1 + dy, 1 + dx), (h, w))
     return out
 
 
@@ -97,6 +97,22 @@ def chebyshev_distance(mask: jax.Array, max_iters: int = 0) -> jax.Array:
     (0 outside the mask, 1 on the component border) via iterated erosion —
     an early-exit while_loop of cheap VPU shift/and ops, O(max cell radius)
     rounds. ``max_iters`` caps the rounds (0 = until the mask erodes away)."""
+    return _erosion_distance(mask, max_iters, octagon=False)
+
+
+def octagon_distance(mask: jax.Array, max_iters: int = 0) -> jax.Array:
+    """Octagonal distance to background: alternating 8-/4-neighborhood
+    erosion. Within ~8% of Euclidean in every direction — unlike Chebyshev,
+    which under-measures round-cell peaks by 1/sqrt(2) (diagonal) while
+    measuring axis-aligned necks exactly, systematically inflating
+    neck/peak ratios and defeating relative marker suppression (measured:
+    two touching discs r=20/18 read neck/peak 11/15 in Chebyshev but 10/18
+    octagonal). The marker stage of instance splitting uses this metric."""
+    return _erosion_distance(mask, max_iters, octagon=True)
+
+
+def _erosion_distance(mask: jax.Array, max_iters: int, octagon: bool
+                      ) -> jax.Array:
     h, w = mask.shape
     mask = mask.astype(bool)
     bound = max_iters or max(h, w)
@@ -107,7 +123,12 @@ def chebyshev_distance(mask: jax.Array, max_iters: int = 0) -> jax.Array:
 
     def body(state):
         m, d, it = state
-        m2 = _erode(m)
+        if octagon:  # 8,4,8,4,... = octagon norm
+            m2 = jax.lax.cond(it % 2 == 0,
+                              lambda x: _erode(x, 8), lambda x: _erode(x, 4),
+                              m)
+        else:
+            m2 = _erode(m, 8)
         return m2, d + m2.astype(jnp.int32), it + 1
 
     _, dist, _ = jax.lax.while_loop(
@@ -116,15 +137,33 @@ def chebyshev_distance(mask: jax.Array, max_iters: int = 0) -> jax.Array:
 
 
 def split_touching_instances(lbl: jax.Array, interior: jax.Array,
-                             window: int = 8, min_dist: int = 4,
+                             window: int = 16, min_dist: int = 4,
+                             slack: int = 1, rel: float = 0.65,
+                             rel_window: int = 48,
                              use_pallas_ccl: bool = False) -> jax.Array:
     """Partition merged components of touching cells along their distance
     ridge (SURVEY.md §3.2 watershed-style postprocess [M], at its real
     intent: separating touching cells; VERDICT r2 task #1).
 
     Markers are the regional maxima of the Chebyshev distance transform of
-    ``interior`` — pixels equal to their ``(2*window+1)²`` window max and at
-    least ``min_dist`` from background (suppresses rim/noise maxima). Each
+    ``interior`` — pixels within ``slack`` of their ``(2*window+1)²`` window
+    max and at least ``min_dist`` from background (suppresses rim/noise
+    maxima). Two further guards against OVERsplitting (each measured on the
+    512² held-out oracle, where naive window=8 markers scored 0.917 ->
+    0.764):
+
+    - ``slack`` (h-maxima tolerance): accept pixels within ``slack`` of the
+      window max, bridging the integer DT's terrace steps into one marker
+      component; a saddle between two real touching cells drops by more
+      than ``slack`` per window and still separates.
+    - ``rel`` / ``rel_window``: a marker must also reach ``rel`` × the
+      window max over the LARGER ``rel_window`` neighborhood — an
+      occlusion crescent/dumbbell lobe whose peak is much lower than the
+      dominant peak nearby is suppressed (absorbed by the dominant marker,
+      i.e. graceful degradation to no-split), while two comparable touching
+      cells both survive. 0 disables.
+
+    Each
     marker plateau is one CCL seed; seeds then claim the whole interior by
     simultaneous-BFS nearest-marker growth (:func:`grow_into_band`), so a
     merged blob of N touching cells with N distance maxima splits along the
@@ -140,11 +179,16 @@ def split_touching_instances(lbl: jax.Array, interior: jax.Array,
     returns a new int32 labeling of the same support, ids NOT compact —
     follow with the relabel/size-filter pass.
     """
-    dist = chebyshev_distance(interior)
+    dist = octagon_distance(interior)
     wmax = dist
-    for _ in range(window):
-        wmax = _neighbor_max(wmax)
-    markers = interior & (dist == wmax) & (dist >= min_dist)
+    wide = dist
+    for i in range(max(window, rel_window if rel > 0 else 0)):
+        wide = _neighbor_max(wide)
+        if i + 1 == window:
+            wmax = wide
+    markers = interior & (dist >= wmax - slack) & (dist >= min_dist)
+    if rel > 0:
+        markers &= dist.astype(jnp.float32) >= rel * wide.astype(jnp.float32)
     if use_pallas_ccl:
         seeds = connected_components_pallas(markers)
     else:
@@ -158,7 +202,8 @@ def split_touching_instances(lbl: jax.Array, interior: jax.Array,
     static_argnames=("cell_thresh", "edge_thresh", "min_cell_size",
                      "max_cell_size", "fov", "boundary_growth", "grow_iters",
                      "use_pallas_ccl", "relabel_method", "instance_split",
-                     "split_window", "split_min_dist"),
+                     "split_window", "split_min_dist", "split_slack",
+                     "split_rel", "split_rel_window"),
 )
 def postprocess_frame(
     probs: jax.Array,
@@ -172,8 +217,11 @@ def postprocess_frame(
     use_pallas_ccl: bool = False,
     relabel_method: str = "auto",
     instance_split: bool = False,
-    split_window: int = 8,
+    split_window: int = 16,
     split_min_dist: int = 4,
+    split_slack: int = 1,
+    split_rel: float = 0.65,
+    split_rel_window: int = 48,
 ) -> jax.Array:
     """3-class probabilities [H,W,3] → instance labels [H,W] int32.
 
@@ -209,6 +257,8 @@ def postprocess_frame(
     if instance_split:
         raw = split_touching_instances(raw, interior, window=split_window,
                                        min_dist=split_min_dist,
+                                       slack=split_slack, rel=split_rel,
+                                       rel_window=split_rel_window,
                                        use_pallas_ccl=use_pallas_ccl)
     # relabel over the h*w+1 seed table: 'matmul' replaces the scatter-add
     # histogram + random gather (the two ops the TPU can't stream; measured

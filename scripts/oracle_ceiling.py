@@ -36,8 +36,11 @@ def main() -> None:
                     help="eval root with <ds>/<seq>_GT/SEG dirs")
     ap.add_argument("--min_cell_size", type=int, default=50)
     ap.add_argument("--instance_split", action="store_true")
-    ap.add_argument("--split_window", type=int, default=8)
+    ap.add_argument("--split_window", type=int, default=16)
     ap.add_argument("--split_min_dist", type=int, default=4)
+    ap.add_argument("--split_slack", type=int, default=1)
+    ap.add_argument("--split_rel", type=float, default=0.65)
+    ap.add_argument("--split_rel_window", type=int, default=48)
     ap.add_argument("--max_frames", type=int, default=0)
     args = ap.parse_args()
 
@@ -58,7 +61,9 @@ def main() -> None:
                 jnp.asarray(probs), min_cell_size=args.min_cell_size,
                 instance_split=args.instance_split,
                 split_window=args.split_window,
-                split_min_dist=args.split_min_dist)
+                split_min_dist=args.split_min_dist,
+                split_slack=args.split_slack, split_rel=args.split_rel,
+                split_rel_window=args.split_rel_window)
             gts.append(gt)
             preds.append(np.asarray(lab))
         score = seg_measure_sequence(gts, preds)
@@ -66,7 +71,9 @@ def main() -> None:
         print(f"{seg_dir}: oracle SEG {score:.4f} ({len(gts)} frames)")
     print(f"mean oracle SEG: {float(np.mean(means)):.4f} "
           f"(split={args.instance_split} window={args.split_window} "
-          f"min_dist={args.split_min_dist} min_cell={args.min_cell_size})")
+          f"min_dist={args.split_min_dist} slack={args.split_slack} "
+          f"rel={args.split_rel}/{args.split_rel_window} "
+          f"min_cell={args.min_cell_size})")
 
 
 if __name__ == "__main__":

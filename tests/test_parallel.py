@@ -58,9 +58,12 @@ def test_graft_entry_single_chip_traces():
     assert logits_shape.shape == (1, 256, 256, 3)
 
 
-def test_graft_entry_dryrun_multichip():
+def test_graft_entry_dryrun_multichip(monkeypatch):
     import __graft_entry__ as g
 
+    # fast mode: the flagship-scale stages (subprocess, several minutes on
+    # this 1-core host) are the driver's job; tests pin the tiny-net path
+    monkeypatch.setenv("GRAFT_DRYRUN_FAST", "1")
     g.dryrun_multichip(8)
     g.dryrun_multichip(4)
 

@@ -15,6 +15,7 @@ import scipy.ndimage as ndi
 
 from lstm_unet_tpu.ops.postprocess import (
     chebyshev_distance,
+    octagon_distance,
     postprocess_frame,
     split_touching_instances,
 )
@@ -40,12 +41,31 @@ def _erode_np(m):
     return out
 
 
+def _erode4_np(m):
+    p = np.pad(m, 1)
+    out = m.copy()
+    for dy, dx in _shifts(4):
+        out &= p[1 + dy:1 + dy + m.shape[0], 1 + dx:1 + dx + m.shape[1]]
+    return out
+
+
 def chebyshev_distance_np(mask):
     m = mask.astype(bool)
     d = m.astype(np.int32)
     while m.any():
         m = _erode_np(m)
         d += m
+    return d
+
+
+def octagon_distance_np(mask):
+    m = mask.astype(bool)
+    d = m.astype(np.int32)
+    it = 0
+    while m.any():
+        m = _erode_np(m) if it % 2 == 0 else _erode4_np(m)
+        d += m
+        it += 1
     return d
 
 
@@ -90,10 +110,14 @@ def _grow_np(lbl, band):
         cur = new
 
 
-def split_touching_instances_np(lbl, interior, window=8, min_dist=4):
-    dist = chebyshev_distance_np(interior)
+def split_touching_instances_np(lbl, interior, window=16, min_dist=4, slack=1,
+                                rel=0.65, rel_window=48):
+    dist = octagon_distance_np(interior)
     wmax = _window_max_np(dist, window)
-    markers = interior & (dist == wmax) & (dist >= min_dist)
+    markers = interior & (dist >= wmax - slack) & (dist >= min_dist)
+    if rel > 0:
+        wide = _window_max_np(dist, max(window, rel_window))
+        markers &= dist.astype(np.float32) >= rel * wide.astype(np.float32)
     seeds = _ccl_np(markers)
     grown = _grow_np(seeds, interior)
     return np.where(grown > 0, grown, np.where(lbl > 0, lbl, 0)).astype(np.int32)
@@ -122,8 +146,24 @@ def test_chebyshev_distance_matches_numpy_and_scipy(rng):
     np.testing.assert_array_equal(ours_b, ref)
 
 
-@pytest.mark.parametrize("window,min_dist", [(3, 2), (8, 4)])
-def test_split_matches_numpy_twin(rng, window, min_dist):
+def test_octagon_distance_twin_and_euclidean_proximity(rng):
+    mask = ndi.gaussian_filter(rng.random((64, 64)), 4.0) > 0.5
+    # zero the border: the op counts it as background, EDT does not
+    mask[0, :] = mask[-1, :] = mask[:, 0] = mask[:, -1] = False
+    ours = np.asarray(octagon_distance(jnp.asarray(mask)))
+    np.testing.assert_array_equal(ours, octagon_distance_np(mask))
+    # the octagon norm tracks Euclidean within ~8% (+1 discretization);
+    # Chebyshev under-measures diagonals by up to 29%
+    edt = ndi.distance_transform_edt(mask)
+    assert np.all(ours <= np.ceil(edt) + 1)
+    assert np.all(ours >= np.floor(edt * 0.92) - 1)
+
+
+@pytest.mark.parametrize("window,min_dist,slack,rel,rel_window",
+                         [(3, 2, 0, 0.0, 0), (8, 4, 1, 0.65, 24),
+                          (16, 4, 2, 0.5, 20)])
+def test_split_matches_numpy_twin(rng, window, min_dist, slack, rel,
+                                  rel_window):
     """Device op == twin on random blobby masks (smoothed noise keeps the
     components blob-like rather than salt-and-pepper)."""
     for seed in range(3):
@@ -133,9 +173,40 @@ def test_split_matches_numpy_twin(rng, window, min_dist):
         lbl = _ccl_np(interior)
         ours = np.asarray(split_touching_instances(
             jnp.asarray(lbl), jnp.asarray(interior),
-            window=window, min_dist=min_dist))
-        twin = split_touching_instances_np(lbl, interior, window, min_dist)
+            window=window, min_dist=min_dist, slack=slack, rel=rel,
+            rel_window=rel_window))
+        twin = split_touching_instances_np(lbl, interior, window, min_dist,
+                                           slack, rel, rel_window)
         np.testing.assert_array_equal(ours, twin)
+
+
+def test_rel_rule_suppresses_minor_lobe():
+    """A dumbbell of one BIG and one SMALL lobe (occlusion-crescent shape):
+    with the relative rule the small lobe's marker is suppressed (one
+    instance, graceful no-split); with rel=0 it oversplits into two. Two
+    COMPARABLE lobes still split under the same rel."""
+    h, w = 64, 96
+    big = _ellipse_mask(h, w, 32, 30, 20, 20)
+    small = _ellipse_mask(h, w, 32, 56, 7, 7)
+    interior = big | small
+    lbl = _ccl_np(interior)
+    assert ndi.label(interior, structure=np.ones((3, 3)))[1] == 1
+    out_rel = np.asarray(split_touching_instances(
+        jnp.asarray(lbl), jnp.asarray(interior), window=8, min_dist=3,
+        slack=1, rel=0.65, rel_window=48))
+    assert len(np.unique(out_rel[interior])) == 1
+    out_norel = np.asarray(split_touching_instances(
+        jnp.asarray(lbl), jnp.asarray(interior), window=8, min_dist=3,
+        slack=1, rel=0.0))
+    assert len(np.unique(out_norel[interior])) == 2
+    # comparable lobes: both peaks pass the relative bar
+    b2 = _ellipse_mask(h, w, 32, 62, 18, 18)
+    interior2 = big | b2
+    lbl2 = _ccl_np(interior2)
+    out2 = np.asarray(split_touching_instances(
+        jnp.asarray(lbl2), jnp.asarray(interior2), window=8, min_dist=3,
+        slack=1, rel=0.65, rel_window=48))
+    assert len(np.unique(out2[interior2])) == 2
 
 
 def test_two_touching_cells_split():
@@ -178,10 +249,11 @@ def test_markerless_component_keeps_original_label():
     lbl = _ccl_np(interior)
     bar_id = lbl[4, 4]
     out = np.asarray(split_touching_instances(
-        jnp.asarray(lbl), jnp.asarray(interior), window=4, min_dist=4))
+        jnp.asarray(lbl), jnp.asarray(interior), window=4, min_dist=4,
+        slack=1))
     assert np.all(out[4:24, 4:6] == bar_id)
     assert len(np.unique(out[interior])) == 2
-    twin = split_touching_instances_np(lbl, interior, 4, 4)
+    twin = split_touching_instances_np(lbl, interior, 4, 4, 1)
     np.testing.assert_array_equal(out, twin)
 
 
