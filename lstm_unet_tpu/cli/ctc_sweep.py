@@ -60,6 +60,7 @@ def main(argv=None) -> None:
     ap.add_argument("--split_slack", type=int, default=1)
     ap.add_argument("--split_rel", type=float, default=0.65)
     ap.add_argument("--split_rel_window", type=int, default=48)
+    ap.add_argument("--split_min_size", type=int, default=0)
     ap.add_argument("--pre_sequence_frames", type=int, default=4)
     ap.add_argument("--dtype", type=str, default="bfloat16")
     ap.add_argument("--state_dtype", type=str, default="auto",
@@ -104,6 +105,7 @@ def main(argv=None) -> None:
         split_window=args.split_window, split_min_dist=args.split_min_dist,
         split_slack=args.split_slack, split_rel=args.split_rel,
         split_rel_window=args.split_rel_window,
+        split_min_size=args.split_min_size,
         pre_sequence_frames=args.pre_sequence_frames,
         dtype=args.dtype, state_dtype=args.state_dtype,
         fused_cell=args.fused_cell, reset_on_jump=args.reset_on_jump)

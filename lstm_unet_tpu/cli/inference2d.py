@@ -39,6 +39,7 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--split_slack", type=int)
     ap.add_argument("--split_rel", type=float)
     ap.add_argument("--split_rel_window", type=int)
+    ap.add_argument("--split_min_size", type=int)
     ap.add_argument("--pre_sequence_frames", type=int)
     ap.add_argument("--save_intermediate", action="store_true", default=None)
     ap.add_argument("--save_intermediate_path", type=str)

@@ -56,6 +56,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--profile", action="store_true", default=None)
     ap.add_argument("--dtype", type=str, choices=["float32", "bfloat16"])
     ap.add_argument("--remat", action="store_true", default=None)
+    ap.add_argument("--remat_policy", type=str,
+                    choices=["full", "save_outputs"])
     ap.add_argument("--gt_is_full_seg", type=lambda s: s.lower() == "true",
                     default=None, help="override the full-annotation heuristic")
     ap.add_argument("--seed", type=int, default=0)

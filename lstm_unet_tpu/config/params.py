@@ -292,6 +292,11 @@ class CTCParams(ParamsBase):
     # B5/T7/256^2 does not fit v5e HBM (compile fails); with it, 1.44 s/step
     # (~54% MXU) — see BASELINE.md
     remat: bool = True
+    # 'full': recompute the whole scan body (maximum memory savings);
+    # 'save_outputs': keep per-level ConvLSTM/conv-stack outputs and
+    # recompute only glue (less recompute FLOPs, ~0.75 GB more HBM at
+    # flagship B5/T7/256^2) — models/ulstm_unet.py::apply
+    remat_policy: str = "full"
 
 
 # --------------------------------------------------------------------------
@@ -330,6 +335,7 @@ class CTCInferenceParams(ParamsBase):
     split_slack: int = 1       # h-maxima tolerance bridging DT terraces (px)
     split_rel: float = 0.65    # marker must reach rel * wider-window max
     split_rel_window: int = 48  # the wider window for the relative rule (px)
+    split_min_size: int = 0    # only components >= this size are split (px)
     pre_sequence_frames: int = 4   # LSTM warm-up: initial frames fed reversed [M]
     save_intermediate: bool = False
     save_intermediate_path: str = ""

@@ -293,6 +293,7 @@ class StreamingInferenceEngine:
                     split_slack=getattr(ip, "split_slack", 1),
                     split_rel=getattr(ip, "split_rel", 0.65),
                     split_rel_window=getattr(ip, "split_rel_window", 48),
+                    split_min_size=getattr(ip, "split_min_size", 0),
                 )
             )(probs)
             if not ip.save_intermediate:

@@ -50,7 +50,7 @@ DATA_PROVIDERS = {
 
 
 def make_train_step(cfg: ModelConfig, optimizer: optax.GradientTransformation,
-                    class_weights, remat: bool = False):
+                    class_weights, remat: bool | str = False):
     """Build the jitted train step.
 
     (params, opt_state, lstm_state, img, seg, valid, full_seg, is_last)
@@ -155,8 +155,11 @@ class Trainer:
             opt = optax.apply_if_finite(opt, max_consecutive_errors=10)
         self.optimizer = opt
         self.opt_state = self.optimizer.init(self.model_params)
+        remat_arg: Any = params.remat
+        if params.remat and getattr(params, "remat_policy", "full") != "full":
+            remat_arg = params.remat_policy
         self.step_fn = make_train_step(
-            self.cfg, self.optimizer, params.class_weights, remat=params.remat)
+            self.cfg, self.optimizer, params.class_weights, remat=remat_arg)
         self.eval_fn = make_eval_step(self.cfg, params.class_weights)
         self.global_step = 0
         self.last_val_metrics: Dict[str, float] = {}

@@ -33,6 +33,8 @@ from typing import Any, Dict, List, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from jax.ad_checkpoint import checkpoint_name
+
 from ..config import NetKernelParams
 from ..ops.conv import activate, conv2d, init_conv, max_pool_2x2, upsample_2x
 from ..ops.convlstm import ConvLSTMCell
@@ -302,9 +304,14 @@ class ULSTMnet2D:
                     fused_cell=cfg.fused_cell)
                 lvl_state.append(carry)
                 x = x.astype(dt)  # carry may be f32 (state_dtype='float32')
+                # no-op outside jax.checkpoint; under the 'save_outputs'
+                # remat policy these are the saved residuals (BPTT then
+                # recomputes only gate math/pool/upsample/activations)
+                x = checkpoint_name(x, "lstm_out")
             for j, conv in enumerate(level["convs"]):
                 x = _conv_block(x, conv, cfg, collect_scales,
                                 f"encoder/{lvl}/convs/{j}")
+            x = checkpoint_name(x, "skip")
             skips.append(x)
             new_state.append(lvl_state)
             x = max_pool_2x2(x)
@@ -324,19 +331,30 @@ class ULSTMnet2D:
 
     @staticmethod
     def apply(params: Params, state: State, x: jax.Array, cfg: ModelConfig,
-              remat: bool = False) -> Tuple[State, jax.Array]:
+              remat: bool | str = False) -> Tuple[State, jax.Array]:
         """Unrolled window: ([B,T,H,W,C]) → (new_state, logits [B,T,H,W,K]).
 
         ``lax.scan`` over T with the per-frame U-Net as the body
         (SURVEY.md §3.3: the only cross-frame dataflow is the LSTM state).
-        ``remat=True`` rematerializes the body in the backward pass to trade
-        FLOPs for HBM during BPTT.
+        ``remat`` rematerializes the body in the backward pass to trade
+        FLOPs for HBM during BPTT:
+          - False: save every intermediate (flagship B5/T7/256² exceeds
+            v5e HBM at compile time — BASELINE.md)
+          - True / 'full': save nothing, recompute the whole body
+          - 'save_outputs': save the per-level ConvLSTM and conv-stack
+            outputs (the checkpoint_name sites in ``step``) and recompute
+            only the cheap glue — a middle point whose extra memory is the
+            per-frame skip/lstm tensors (~0.75 GB at flagship B5/T7/256²)
         """
         def body(carry, frame):
             new_carry, logits = ULSTMnet2D.step(params, carry, frame, cfg)
             return new_carry, logits
 
-        if remat:
+        if remat == "save_outputs":
+            body = jax.checkpoint(
+                body, policy=jax.checkpoint_policies.save_only_these_names(
+                    "lstm_out", "skip"))
+        elif remat:
             body = jax.checkpoint(body)
         xs = jnp.moveaxis(x, 1, 0)  # [T,B,H,W,C]
         state, logits = jax.lax.scan(body, state, xs)

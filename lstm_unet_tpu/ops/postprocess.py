@@ -139,7 +139,7 @@ def _erosion_distance(mask: jax.Array, max_iters: int, octagon: bool
 def split_touching_instances(lbl: jax.Array, interior: jax.Array,
                              window: int = 16, min_dist: int = 4,
                              slack: int = 1, rel: float = 0.65,
-                             rel_window: int = 48,
+                             rel_window: int = 48, min_size: int = 0,
                              use_pallas_ccl: bool = False) -> jax.Array:
     """Partition merged components of touching cells along their distance
     ridge (SURVEY.md §3.2 watershed-style postprocess [M], at its real
@@ -162,6 +162,12 @@ def split_touching_instances(lbl: jax.Array, interior: jax.Array,
       dominant peak nearby is suppressed (absorbed by the dominant marker,
       i.e. graceful degradation to no-split), while two comparable touching
       cells both survive. 0 disables.
+    - ``min_size``: only components at least this many pixels are ELIGIBLE
+      for splitting (smaller ones keep their original label untouched). A
+      merged pair of cells is ~2x a single cell's area while the
+      occlusion crescents that oversplit are normal-sized or smaller, so a
+      threshold between the two applies splitting exactly where merges can
+      exist. 0 disables.
 
     Each
     marker plateau is one CCL seed; seeds then claim the whole interior by
@@ -189,6 +195,14 @@ def split_touching_instances(lbl: jax.Array, interior: jax.Array,
     markers = interior & (dist >= wmax - slack) & (dist >= min_dist)
     if rel > 0:
         markers &= dist.astype(jnp.float32) >= rel * wide.astype(jnp.float32)
+    if min_size > 0:
+        # per-pixel component size; ineligible components get NO markers so
+        # the marker-less fallback below keeps their labels bit-identical
+        h, w = lbl.shape
+        n = h * w + 1
+        counts = jnp.zeros((n,), jnp.int32).at[lbl.reshape(-1)].add(1)
+        comp_size = counts[lbl.reshape(-1)].reshape(h, w)
+        markers &= comp_size >= min_size
     if use_pallas_ccl:
         seeds = connected_components_pallas(markers)
     else:
@@ -203,7 +217,7 @@ def split_touching_instances(lbl: jax.Array, interior: jax.Array,
                      "max_cell_size", "fov", "boundary_growth", "grow_iters",
                      "use_pallas_ccl", "relabel_method", "instance_split",
                      "split_window", "split_min_dist", "split_slack",
-                     "split_rel", "split_rel_window"),
+                     "split_rel", "split_rel_window", "split_min_size"),
 )
 def postprocess_frame(
     probs: jax.Array,
@@ -222,6 +236,7 @@ def postprocess_frame(
     split_slack: int = 1,
     split_rel: float = 0.65,
     split_rel_window: int = 48,
+    split_min_size: int = 0,
 ) -> jax.Array:
     """3-class probabilities [H,W,3] → instance labels [H,W] int32.
 
@@ -259,6 +274,7 @@ def postprocess_frame(
                                        min_dist=split_min_dist,
                                        slack=split_slack, rel=split_rel,
                                        rel_window=split_rel_window,
+                                       min_size=split_min_size,
                                        use_pallas_ccl=use_pallas_ccl)
     # relabel over the h*w+1 seed table: 'matmul' replaces the scatter-add
     # histogram + random gather (the two ops the TPU can't stream; measured

@@ -41,6 +41,7 @@ def main() -> None:
     ap.add_argument("--split_slack", type=int, default=1)
     ap.add_argument("--split_rel", type=float, default=0.65)
     ap.add_argument("--split_rel_window", type=int, default=48)
+    ap.add_argument("--split_min_size", type=int, default=0)
     ap.add_argument("--max_frames", type=int, default=0)
     args = ap.parse_args()
 
@@ -63,7 +64,8 @@ def main() -> None:
                 split_window=args.split_window,
                 split_min_dist=args.split_min_dist,
                 split_slack=args.split_slack, split_rel=args.split_rel,
-                split_rel_window=args.split_rel_window)
+                split_rel_window=args.split_rel_window,
+                split_min_size=args.split_min_size)
             gts.append(gt)
             preds.append(np.asarray(lab))
         score = seg_measure_sequence(gts, preds)
@@ -73,7 +75,7 @@ def main() -> None:
           f"(split={args.instance_split} window={args.split_window} "
           f"min_dist={args.split_min_dist} slack={args.split_slack} "
           f"rel={args.split_rel}/{args.split_rel_window} "
-          f"min_cell={args.min_cell_size})")
+          f"min_size={args.split_min_size} min_cell={args.min_cell_size})")
 
 
 if __name__ == "__main__":

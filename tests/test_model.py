@@ -106,6 +106,29 @@ def test_gradients_flow_and_finite():
     assert all(nonzero)
 
 
+def test_remat_policies_identical_loss_and_grads():
+    """remat=False / True / 'save_outputs' are pure scheduling choices —
+    loss and gradients must agree to float tolerance (the selective policy
+    saves the checkpoint_name'd lstm/skip tensors and recomputes the rest)."""
+    cfg, params = _mk()
+    B, T, H, W = 2, 3, 16, 16
+    x = jax.random.normal(jax.random.PRNGKey(5), (B, T, H, W, 1))
+    state = ULSTMnet2D.init_state(cfg, B, H, W)
+
+    def loss_fn(p, remat):
+        _, logits = ULSTMnet2D.apply(p, state, x, cfg, remat=remat)
+        return jnp.mean(logits ** 2)
+
+    ref_l, ref_g = jax.value_and_grad(lambda p: loss_fn(p, False))(params)
+    for remat in (True, "save_outputs"):
+        l, g = jax.value_and_grad(lambda p: loss_fn(p, remat))(params)
+        np.testing.assert_allclose(float(l), float(ref_l), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g),
+                        jax.tree_util.tree_leaves(ref_g)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6, rtol=1e-5)
+
+
 def test_pallas_and_xla_paths_agree():
     nkp = tiny_net_kernel_params()
     cfg_p = ModelConfig.make(nkp, use_pallas=True)

@@ -111,13 +111,16 @@ def _grow_np(lbl, band):
 
 
 def split_touching_instances_np(lbl, interior, window=16, min_dist=4, slack=1,
-                                rel=0.65, rel_window=48):
+                                rel=0.65, rel_window=48, min_size=0):
     dist = octagon_distance_np(interior)
     wmax = _window_max_np(dist, window)
     markers = interior & (dist >= wmax - slack) & (dist >= min_dist)
     if rel > 0:
         wide = _window_max_np(dist, max(window, rel_window))
         markers &= dist.astype(np.float32) >= rel * wide.astype(np.float32)
+    if min_size > 0:
+        counts = np.bincount(lbl.reshape(-1), minlength=lbl.size + 1)
+        markers &= counts[lbl] >= min_size
     seeds = _ccl_np(markers)
     grown = _grow_np(seeds, interior)
     return np.where(grown > 0, grown, np.where(lbl > 0, lbl, 0)).astype(np.int32)
@@ -254,6 +257,27 @@ def test_markerless_component_keeps_original_label():
     assert np.all(out[4:24, 4:6] == bar_id)
     assert len(np.unique(out[interior])) == 2
     twin = split_touching_instances_np(lbl, interior, 4, 4, 1)
+    np.testing.assert_array_equal(out, twin)
+
+
+def test_min_size_gates_split_eligibility():
+    """split min_size: a small two-lobed component below the threshold is
+    left untouched (keeps ONE original label, bit-identical), while a large
+    merged pair above it still splits. Twin agrees."""
+    h, w = 96, 160
+    small = _ellipse_mask(h, w, 20, 20, 9, 9) | _ellipse_mask(h, w, 20, 36, 9, 9)
+    big = _ellipse_mask(h, w, 64, 60, 20, 20) | _ellipse_mask(h, w, 64, 96, 20, 20)
+    interior = small | big
+    lbl = _ccl_np(interior)
+    thresh = int(small.sum()) + 1
+    out = np.asarray(split_touching_instances(
+        jnp.asarray(lbl), jnp.asarray(interior), window=8, min_dist=3,
+        slack=1, rel=0.65, rel_window=48, min_size=thresh))
+    assert len(np.unique(out[small])) == 1      # ineligible: untouched
+    np.testing.assert_array_equal(out[small], lbl[small])
+    assert len(np.unique(out[big])) == 2        # eligible: split
+    twin = split_touching_instances_np(lbl, interior, 8, 3, 1, 0.65, 48,
+                                       thresh)
     np.testing.assert_array_equal(out, twin)
 
 
