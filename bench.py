@@ -51,6 +51,17 @@ def build_pipeline(size: int, dtype: str, tiny: bool, fused_cell: bool = False,
     # params must be an explicit argument: closed-over arrays are baked into
     # the HLO as constants (bloats the program and breaks remote compile)
     def step(params, state, frame):
+        # full production streaming step: on-device normalize + model +
+        # softmax + instance postprocess (same chain as engine.infer);
+        # integer frames take the exact MXU-histogram quantile
+        if jnp.issubdtype(frame.dtype, jnp.integer):
+            from lstm_unet_tpu.io.preprocess import integer_percentile_bounds
+
+            lo, hi = integer_percentile_bounds(frame[0, :, :, 0], 1.0, 99.0)
+        else:
+            lo, hi = jnp.percentile(
+                frame.astype(jnp.float32).reshape(-1), jnp.array([1.0, 99.0]))
+        frame = (frame.astype(jnp.float32) - lo) / jnp.maximum(hi - lo, 1e-6)
         new_state, logits = ULSTMnet2D.step(params, state, frame, cfg)
         probs = jax.nn.softmax(logits[0], axis=-1)
         labels = postprocess_frame(probs, cell_thresh=0.5, edge_thresh=0.3,
@@ -84,11 +95,14 @@ def build_pipeline(size: int, dtype: str, tiny: bool, fused_cell: bool = False,
 
 def make_frames(n: int, size: int) -> np.ndarray:
     from lstm_unet_tpu.io.synthetic import make_cell_sequence
-    from lstm_unet_tpu.io.preprocess import percentile_normalize_np
 
+    # raw uint16 frames, exactly what production streaming uploads: the
+    # engine normalizes on device (integer frames take the MXU-histogram
+    # quantile; the old bench normalized on the host AND re-normalized the
+    # float result on device — double work and a 2x-wide upload)
     imgs, _ = make_cell_sequence(num_frames=n, height=size, width=size,
                                  num_cells=40, seed=7)
-    return np.stack([percentile_normalize_np(f) for f in imgs])[..., None, :, :, None]
+    return np.stack(imgs)[..., None, :, :, None]
 
 
 def bench_train(size: int, dtype: str, tiny: bool, steps: int = 10,

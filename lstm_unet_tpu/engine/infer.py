@@ -252,9 +252,18 @@ class StreamingInferenceEngine:
             # per frame on the host (SURVEY.md §2 "Inference reader") which
             # on a thin host would bottleneck the streaming loop.
             # Stats come from the unpadded interior only (crop is static).
+            # Integer frames (raw CTC uint8/uint16) take the exact
+            # MXU-histogram quantile — no 512²-sort, and the half-width
+            # upload; float frames keep the sort (histogram quantiles are
+            # only exact on the integer domain — BASELINE.md r1).
             def norm(f):  # [H,W,1] padded
-                inner = f[:oh, :ow].astype(jnp.float32).reshape(-1)
-                lo, hi = jnp.percentile(inner, jnp.array([1.0, 99.0]))  # one sort
+                if jnp.issubdtype(f.dtype, jnp.integer):
+                    from ..io.preprocess import integer_percentile_bounds
+
+                    lo, hi = integer_percentile_bounds(f[:oh, :ow], 1.0, 99.0)
+                else:
+                    inner = f[:oh, :ow].astype(jnp.float32).reshape(-1)
+                    lo, hi = jnp.percentile(inner, jnp.array([1.0, 99.0]))
                 return (f.astype(jnp.float32) - lo) / jnp.maximum(hi - lo, 1e-6)
 
             frame = jax.vmap(norm)(frame)
@@ -354,7 +363,11 @@ class StreamingInferenceEngine:
         padded, _ = pad_to_multiple(frame, self.depth_multiple)
         if self._shape != (1, h, w):
             self._build(h, w)
-        x = jnp.asarray(padded, jnp.float32)[None, ..., None]
+        # integer frames upload raw (half the bytes of f32 through the
+        # tunnel) and normalize via the exact on-device histogram quantile
+        x = jnp.asarray(padded)[None, ..., None]
+        if not jnp.issubdtype(x.dtype, jnp.integer):
+            x = x.astype(jnp.float32)
         if self._frame_spec is not None:
             x = self._shard(x, self._frame_spec)
         self._state, labels, probs = self._step(self._state, x)
@@ -557,7 +570,9 @@ def run_inference_batched(ip: CTCInferenceParams, sequence_paths, output_paths,
                         f"{raw_shapes[lane]} -> {f.shape}")
             frames = np.stack([
                 pad_to_multiple(f, engine.depth_multiple)[0] for _, f in cur])
-            x = jnp.asarray(frames, jnp.float32)[..., None]
+            x = jnp.asarray(frames)[..., None]
+            if not jnp.issubdtype(x.dtype, jnp.integer):
+                x = x.astype(jnp.float32)
             if engine._frame_spec is not None:
                 x = engine._shard(x, engine._frame_spec)
             engine._state, labels, probs = engine._step(engine._state, x)

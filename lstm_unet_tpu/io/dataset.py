@@ -387,7 +387,9 @@ class CTCInferenceReader:
         img = read_tiff(path)
         if self.normalize:
             return percentile_normalize_np(img)
-        return img.astype(np.float32)
+        # raw NATIVE dtype: integer frames stay uint8/uint16 so the engine
+        # can upload half-width and use the exact histogram quantile
+        return img
 
     def __iter__(self):
         idxs = self.frame_indices()

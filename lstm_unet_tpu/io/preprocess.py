@@ -42,6 +42,35 @@ def percentile_normalize(img: jax.Array, low: float = 1.0, high: float = 99.0) -
     return (x - lo) / scale
 
 
+def integer_percentile_bounds(x: jax.Array, low: float = 1.0,
+                              high: float = 99.0):
+    """Exact (low, high) percentiles of an INTEGER image in [0, 65535] —
+    bit-identical to ``jnp.percentile(x.astype(f32), ...)`` (tested) but
+    computed from a 65536-bin MXU histogram + cumsum + searchsorted instead
+    of a full sort. Rationale (BASELINE.md r1): the sort costs ~3.5 ms
+    @512² in the streaming step; the histogram quantile was rejected then
+    because it is silently wrong for float inputs — dispatching on the
+    integer dtype (static under jit) removes that hazard entirely. Order
+    statistics of integers are exact in either method, and the final linear
+    interpolation uses the same f32 arithmetic as jnp.percentile."""
+    from ..ops.ccl import mm_histogram_u16
+
+    counts = mm_histogram_u16(x).reshape(-1)
+    csum = jnp.cumsum(counts)
+    n = x.size
+
+    def pct(q):
+        pos = jnp.float32(q / 100.0) * (n - 1)
+        k = jnp.floor(pos).astype(jnp.int32)
+        frac = pos - k.astype(jnp.float32)
+        lo_v = jnp.searchsorted(csum, k + 1, side="left").astype(jnp.float32)
+        hi_v = jnp.searchsorted(csum, jnp.minimum(k + 2, n),
+                                side="left").astype(jnp.float32)
+        return lo_v * (1.0 - frac) + hi_v * frac
+
+    return pct(low), pct(high)
+
+
 def percentile_normalize_np(img: np.ndarray, low: float = 1.0, high: float = 99.0) -> np.ndarray:
     """NumPy twin of :func:`percentile_normalize` (host pipeline / tests)."""
     x = img.astype(np.float32)

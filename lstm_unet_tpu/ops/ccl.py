@@ -203,6 +203,36 @@ def mm_histogram(values: jax.Array) -> jax.Array:
     return c2d.astype(jnp.int32)
 
 
+def mm_histogram_u16(values: jax.Array) -> jax.Array:
+    """Histogram of values in [0, 65535] -> counts [256, 256] (bin of v =
+    (v >> 8, v & 255), raster order == value order) via chunked one-hot MXU
+    matmuls — the scatter-free histogram trick applied to the uint16 value
+    domain (exact: 0/1 bf16 operands, f32 accumulation, counts < 2^24).
+    Used by the exact integer percentile normalization
+    (io/preprocess.py::integer_percentile_bounds)."""
+    v = values.reshape(-1).astype(jnp.int32)
+    n = v.shape[0]
+    if n >= 2 ** 24:
+        raise ValueError(f"mm_histogram_u16: {n} values >= 2^24")
+    ch = 8192
+    pad = (-n) % ch
+    if pad:
+        # -1 sentinel: hi = -1 matches no bin, so padded lanes contribute 0
+        v = jnp.concatenate([v, jnp.full((pad,), -1, jnp.int32)])
+    hi = (v >> 8).reshape(-1, ch)
+    lo = (v & 255).reshape(-1, ch)
+    bins = jnp.arange(256, dtype=jnp.int32)
+
+    def body(c, rows):
+        hi_r, lo_r = rows
+        a = (hi_r[:, None] == bins[None, :]).astype(jnp.bfloat16)
+        b = (lo_r[:, None] == bins[None, :]).astype(jnp.bfloat16)
+        return c + jnp.dot(a.T, b, preferred_element_type=jnp.float32), 0
+
+    c, _ = jax.lax.scan(body, jnp.zeros((256, 256), jnp.float32), (hi, lo))
+    return c.astype(jnp.int32)
+
+
 def mm_lookup(values: jax.Array, table: jax.Array) -> jax.Array:
     """Per-pixel ``table[values // w, values % w]`` without random gathers:
     one-hot MXU matmuls against the table split into high/low bytes (table

@@ -378,6 +378,58 @@ def test_relabel_mm_overflow_is_loud():
     assert int(jnp.min(out)) == np.iinfo(np.int32).max
 
 
+def test_mm_histogram_u16_exact(rng):
+    from lstm_unet_tpu.ops.ccl import mm_histogram_u16
+
+    for shape, hi in (((64, 64), 60000), ((30, 29), 65535), ((101, 37), 255)):
+        x = rng.integers(0, hi, shape).astype(np.uint16)
+        counts = np.asarray(mm_histogram_u16(jnp.asarray(x))).reshape(-1)
+        np.testing.assert_array_equal(
+            counts, np.bincount(x.reshape(-1), minlength=65536))
+
+
+def test_integer_percentile_bounds_match_sort(rng):
+    """Histogram quantile == sort-based jnp.percentile on the integer
+    domain: order statistics agree EXACTLY; the final f32 lerp may differ
+    by 1 ulp across separately-compiled programs (fusion), nothing more."""
+    from lstm_unet_tpu.io.preprocess import integer_percentile_bounds
+
+    for shape, hi in (((64, 64), 60000), ((30, 29), 65535), ((128, 64), 255)):
+        x = rng.integers(0, hi, shape).astype(np.uint16)
+        lo_h, hi_h = integer_percentile_bounds(jnp.asarray(x))
+        ref = jnp.percentile(jnp.asarray(x).astype(jnp.float32).reshape(-1),
+                             jnp.array([1.0, 99.0]))
+        for a, b in ((lo_h, ref[0]), (hi_h, ref[1])):
+            a, b = float(a), float(b)
+            assert abs(a - b) <= 2 * np.spacing(np.float32(max(abs(a), abs(b)))), (a, b)
+
+
+def test_engine_uint16_and_float_paths_agree(rng, tmp_path):
+    """The engine's integer (histogram-quantile, raw upload) and float
+    (sort-quantile) normalize paths produce the same masks on the same
+    frames — the dtype dispatch is a perf choice, not a semantic one."""
+    from lstm_unet_tpu.config import CTCInferenceParams, tiny_net_kernel_params as tkp
+    from lstm_unet_tpu.engine.infer import StreamingInferenceEngine
+    from lstm_unet_tpu.models import ModelConfig, ULSTMnet2D
+    from lstm_unet_tpu.io.synthetic import make_cell_sequence
+
+    cfg = ModelConfig.make(tkp())
+    params = ULSTMnet2D.init(jax.random.PRNGKey(0), cfg)
+    imgs, _ = make_cell_sequence(num_frames=3, height=32, width=32,
+                                 num_cells=3, seed=4)
+    ip = CTCInferenceParams(min_cell_size=3)
+    outs = {}
+    for tag, cast in (("u16", lambda f: f), ("f32",
+                                             lambda f: f.astype(np.float32))):
+        eng = StreamingInferenceEngine(params, cfg, ip)
+        masks = [eng.process_frame(cast(f))[0] for f in imgs]
+        outs[tag] = masks
+    for a, b in zip(outs["u16"], outs["f32"]):
+        agree = np.mean(a == b)
+        assert agree > 0.999, agree
+        assert len(np.unique(a)) == len(np.unique(b))
+
+
 def test_postprocess_fov_matmul_matches_scatter():
     import numpy as np
 
