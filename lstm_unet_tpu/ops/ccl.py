@@ -74,6 +74,60 @@ def connected_components(mask: jax.Array, connectivity: int = 8,
     return jnp.where(mask, lbl, 0).astype(jnp.int32)
 
 
+def _segmented_min_scan(lbl: jax.Array, mask: jax.Array) -> jax.Array:
+    """Per-row forward+backward segmented min: within every contiguous
+    foreground RUN of each row, every pixel takes the run's min label —
+    one associative_scan pair (log-depth) instead of O(run length)
+    neighbor sweeps. Background pixels keep _INF."""
+    starts = jnp.concatenate(
+        [jnp.ones((lbl.shape[0], 1), bool), ~mask[:, :-1]], axis=1)
+
+    def op(a, b):
+        av, ag = a
+        bv, bg = b
+        return jnp.where(bg, bv, jnp.minimum(av, bv)), ag | bg
+
+    fwd, _ = jax.lax.associative_scan(op, (lbl, starts), axis=1)
+    rstarts = jnp.concatenate(
+        [jnp.ones((lbl.shape[0], 1), bool), ~mask[:, 1:][:, ::-1]], axis=1)
+    bwd, _ = jax.lax.associative_scan(op, (lbl[:, ::-1], rstarts), axis=1)
+    out = jnp.minimum(fwd, bwd[:, ::-1])
+    return jnp.where(mask, out, _INF)
+
+
+@functools.partial(jax.jit, static_argnames=("connectivity", "max_iters"))
+def connected_components_scan(mask: jax.Array, connectivity: int = 8,
+                              max_iters: int = 0) -> jax.Array:
+    """:func:`connected_components` with run-propagation sweeps: each round
+    does a row segmented-min scan, a column segmented-min scan (transposed
+    row scan) and one 8-neighbor min — labels cross an entire straight run
+    per round instead of one pixel, so convergence is O(component
+    "turns"), not O(diameter). Same fixed point (the component min seed),
+    bit-identical output; kept as a separate entry point for A/B."""
+    h, w = mask.shape
+    mask = mask.astype(bool)
+    idx = (jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
+           + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) + 1)
+    lbl0 = jnp.where(mask, idx, _INF)
+    bound = max_iters or (h * w)
+
+    def cond(state):
+        lbl, changed, it = state
+        return changed & (it < bound)
+
+    def body(state):
+        lbl, _, it = state
+        new = _segmented_min_scan(lbl, mask)
+        new = _segmented_min_scan(new.T, mask.T).T
+        new = jnp.where(mask, jnp.minimum(new, _neighbor_min(new, connectivity)),
+                        _INF)
+        return new, jnp.any(new != lbl), it + 1
+
+    lbl, _, _ = jax.lax.while_loop(cond, body, (lbl0, jnp.bool_(True),
+                                                jnp.int32(0)))
+    return jnp.where(mask, lbl, 0).astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("min_size", "max_size",
                                              "num_bins"))
 def relabel_compact(labels: jax.Array, min_size: int = 0, max_size: int = 0,

@@ -16,7 +16,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .ccl import connected_components, relabel_compact, relabel_compact_mm
+from .ccl import (connected_components, connected_components_scan,
+                  relabel_compact, relabel_compact_mm)
 from .pallas.ccl import connected_components_pallas
 
 
@@ -215,7 +216,8 @@ def split_touching_instances(lbl: jax.Array, interior: jax.Array,
     jax.jit,
     static_argnames=("cell_thresh", "edge_thresh", "min_cell_size",
                      "max_cell_size", "fov", "boundary_growth", "grow_iters",
-                     "use_pallas_ccl", "relabel_method", "instance_split",
+                     "use_pallas_ccl", "ccl_method", "relabel_method",
+                     "instance_split",
                      "split_window", "split_min_dist", "split_slack",
                      "split_rel", "split_rel_window", "split_min_size"),
 )
@@ -229,6 +231,7 @@ def postprocess_frame(
     boundary_growth: str = "marker",
     grow_iters: int = 0,
     use_pallas_ccl: bool = False,
+    ccl_method: str = "sweep",
     relabel_method: str = "auto",
     instance_split: bool = False,
     split_window: int = 16,
@@ -267,6 +270,11 @@ def postprocess_frame(
     # BASELINE.md), so the XLA twin is the default here.
     if use_pallas_ccl:
         raw = connected_components_pallas(interior)
+    elif ccl_method == "scan":
+        # run-propagation sweeps (segmented min-scans): bit-identical,
+        # fewer iterations on large blobs — A/B option (CLAUDE.md: fused
+        # end-to-end A/B before any default flip)
+        raw = connected_components_scan(interior, connectivity=8)
     else:
         raw = connected_components(interior, connectivity=8)
     if instance_split:

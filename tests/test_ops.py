@@ -325,6 +325,23 @@ def _spiral_mask(n: int) -> np.ndarray:
     return mask
 
 
+def test_ccl_scan_matches_sweep(rng):
+    """connected_components_scan (segmented min-scan run propagation) is
+    bit-identical to the neighbor-sweep CCL across densities, odd shapes
+    and the spiral worst case."""
+    from lstm_unet_tpu.ops.ccl import connected_components_scan
+
+    for shape, p in (((48, 64), 0.3), ((64, 64), 0.55), ((33, 47), 0.7)):
+        mask = rng.random(shape) < p
+        np.testing.assert_array_equal(
+            np.asarray(connected_components_scan(jnp.asarray(mask))),
+            np.asarray(connected_components(jnp.asarray(mask))))
+    spiral = _spiral_mask(24)
+    np.testing.assert_array_equal(
+        np.asarray(connected_components_scan(jnp.asarray(spiral))),
+        np.asarray(connected_components(jnp.asarray(spiral))))
+
+
 def test_ccl_spiral_worst_case(monkeypatch):
     """Long-geodesic SINGLE component (a connected spiral walk): both CCL
     twins must agree with scipy — guards the iteration bound (an h+w bound
