@@ -34,7 +34,7 @@ CPU_BASELINE_FPS = 0.0297
 
 
 def build_pipeline(size: int, dtype: str, tiny: bool, fused_cell: bool = False,
-                   calibrated: bool = False):
+                   calibrated: bool = False, ccl_method: str = "sweep"):
     from lstm_unet_tpu.config import default_net_kernel_params, tiny_net_kernel_params
     from lstm_unet_tpu.models import ModelConfig, ULSTMnet2D
     from lstm_unet_tpu.ops.postprocess import postprocess_frame
@@ -65,7 +65,8 @@ def build_pipeline(size: int, dtype: str, tiny: bool, fused_cell: bool = False,
         new_state, logits = ULSTMnet2D.step(params, state, frame, cfg)
         probs = jax.nn.softmax(logits[0], axis=-1)
         labels = postprocess_frame(probs, cell_thresh=0.5, edge_thresh=0.3,
-                                   min_cell_size=10, grow_iters=3)
+                                   min_cell_size=10, grow_iters=3,
+                                   ccl_method=ccl_method)
         return new_state, labels
 
     jitted = jax.jit(step, donate_argnums=(1,))
@@ -173,6 +174,9 @@ def main():
     ap.add_argument("--no-train_too", dest="train_too", action="store_false")
     ap.add_argument("--remat_policy", type=str, default="full",
                     choices=["full", "save_outputs", "none"])
+    ap.add_argument("--ccl", type=str, default="sweep",
+                    choices=["sweep", "scan"],
+                    help="CCL variant for the fused A/B (bit-identical)")
     args = ap.parse_args()
 
     if args.mode == "train":
@@ -182,7 +186,7 @@ def main():
         return
 
     step, state = build_pipeline(args.size, args.dtype, args.tiny,
-                                 args.fused_cell, args.calibrated)
+                                 args.fused_cell, args.calibrated, args.ccl)
     frames = make_frames(min(args.frames, 16), args.size)
     dev_frames = [jax.device_put(jnp.asarray(f)) for f in frames]
 
