@@ -47,6 +47,12 @@ def main() -> None:
     ap.add_argument("--fused_cell", action="store_true")
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--mode", choices=["infer", "train"], default="infer",
+                    help="train: profile the BPTT step (B5/T7, remat)")
+    ap.add_argument("--remat_policy", type=str, default="full",
+                    choices=["full", "save_outputs", "none"])
+    ap.add_argument("--ccl", type=str, default="sweep",
+                    choices=["sweep", "scan"])
     args = ap.parse_args()
 
     import jax
@@ -54,20 +60,58 @@ def main() -> None:
 
     import bench
 
-    step, state = bench.build_pipeline(args.size, args.dtype, tiny=False,
-                                       fused_cell=args.fused_cell,
-                                       calibrated=args.calibrated)
-    frames = bench.make_frames(4, args.size)
-    dev = [jax.device_put(jnp.asarray(f)) for f in frames]
-    state, labels = step(state, dev[0])
-    int(jnp.max(labels))  # sync (tunnel: block_until_ready doesn't)
-
     tmp = tempfile.mkdtemp(prefix="trace_")
-    jax.profiler.start_trace(tmp)
-    for i in range(args.frames):
-        state, labels = step(state, dev[i % len(dev)])
-    int(jnp.max(labels))
-    jax.profiler.stop_trace()
+    if args.mode == "train":
+        # warm-up + traced steps inside bench_train is awkward; inline the
+        # same setup here with an explicit trace window
+        import numpy as np
+        import optax
+
+        from lstm_unet_tpu.config import default_net_kernel_params
+        from lstm_unet_tpu.engine.train import make_train_step
+        from lstm_unet_tpu.models import ModelConfig, ULSTMnet2D
+
+        size = 256 if args.size == 512 else args.size
+        cfg = ModelConfig.make(default_net_kernel_params(),
+                               dtype="bfloat16" if args.dtype == "int8"
+                               else args.dtype)
+        params = ULSTMnet2D.init(jax.random.PRNGKey(0), cfg)
+        opt = optax.adam(1e-4)
+        opt_state = opt.init(params)
+        remat = {"full": True, "none": False}.get(args.remat_policy,
+                                                  args.remat_policy)
+        step = make_train_step(cfg, opt, (0.15, 0.25, 0.6), remat=remat)
+        B, T = 5, 7
+        state = ULSTMnet2D.init_state(cfg, B, size, size)
+        img = jnp.zeros((B, T, size, size, 1), jnp.float32) + 0.5
+        seg = jnp.zeros((B, T, size, size), jnp.int32)
+        ones = jnp.ones((B, T))
+        last = jnp.zeros((B,))
+        params, opt_state, state, m = step(params, opt_state, state, img,
+                                           seg, ones, ones, last)
+        float(m["loss"])
+        args.frames = max(args.frames // 4, 2)  # train steps are heavy
+        jax.profiler.start_trace(tmp)
+        for _ in range(args.frames):
+            params, opt_state, state, m = step(params, opt_state, state,
+                                               img, seg, ones, ones, last)
+        float(m["loss"])
+        jax.profiler.stop_trace()
+    else:
+        step, state = bench.build_pipeline(args.size, args.dtype, tiny=False,
+                                           fused_cell=args.fused_cell,
+                                           calibrated=args.calibrated,
+                                           ccl_method=args.ccl)
+        frames = bench.make_frames(4, args.size)
+        dev = [jax.device_put(jnp.asarray(f)) for f in frames]
+        state, labels = step(state, dev[0])
+        int(jnp.max(labels))  # sync (tunnel: block_until_ready doesn't)
+
+        jax.profiler.start_trace(tmp)
+        for i in range(args.frames):
+            state, labels = step(state, dev[i % len(dev)])
+        int(jnp.max(labels))
+        jax.profiler.stop_trace()
 
     traces = glob.glob(os.path.join(tmp, "**", "*.trace.json.gz"),
                        recursive=True)
@@ -94,8 +138,9 @@ def main() -> None:
         by_name[name] += e["dur"]
     total = sum(by_bucket.values())
     per_frame = total / args.frames / 1e3
-    print(f"device total {total / 1e3:.2f} ms over {args.frames} frames "
-          f"= {per_frame:.2f} ms/frame")
+    unit = "step" if args.mode == "train" else "frame"
+    print(f"device total {total / 1e3:.2f} ms over {args.frames} {unit}s "
+          f"= {per_frame:.2f} ms/{unit}")
     for b, t in sorted(by_bucket.items(), key=lambda kv: -kv[1]):
         print(f"  {b:20s} {t / args.frames / 1e3:7.2f} ms/frame "
               f"({100 * t / total:4.1f}%)")
