@@ -407,8 +407,10 @@ def test_mm_histogram_u16_exact(rng):
 
 def test_integer_percentile_bounds_match_sort(rng):
     """Histogram quantile == sort-based jnp.percentile on the integer
-    domain: order statistics agree EXACTLY; the final f32 lerp may differ
-    by 1 ulp across separately-compiled programs (fusion), nothing more."""
+    domain: order statistics agree EXACTLY (test_mm_histogram_u16_exact +
+    searchsorted); the final f32 lerp may differ by a few ulp across
+    separately-compiled programs (XLA fusion/FMA choices vary with the
+    surrounding program — observed 1.5 ulp in-suite vs bit-equal solo)."""
     from lstm_unet_tpu.io.preprocess import integer_percentile_bounds
 
     for shape, hi in (((64, 64), 60000), ((30, 29), 65535), ((128, 64), 255)):
@@ -418,7 +420,7 @@ def test_integer_percentile_bounds_match_sort(rng):
                              jnp.array([1.0, 99.0]))
         for a, b in ((lo_h, ref[0]), (hi_h, ref[1])):
             a, b = float(a), float(b)
-            assert abs(a - b) <= 2 * np.spacing(np.float32(max(abs(a), abs(b)))), (a, b)
+            assert abs(a - b) <= 4 * np.spacing(np.float32(max(abs(a), abs(b)))), (a, b)
 
 
 def test_engine_uint16_and_float_paths_agree(rng, tmp_path):
