@@ -75,6 +75,9 @@ def main(argv=None) -> None:
     ap.add_argument("--score_seg", action="store_true",
                     help="after the sweep, score SEG against <seq>_GT/SEG "
                          "ground truth where present")
+    ap.add_argument("--ckpt_step", type=int, default=0,
+                    help="restore this saved checkpoint step (0 = latest) — "
+                         "model selection on val/seg")
     ap.add_argument("--calibrate", type=int, default=0, metavar="N",
                     help="first calibrate int8 activation scales on the "
                          "first N frames of the first sequence (writes "
@@ -95,7 +98,8 @@ def main(argv=None) -> None:
             raise FileNotFoundError(
                 f"no CTC sequences under {args.root_data_dir}")
         calibrate_model_dir(args.model_path, first[2],
-                            n_frames=args.calibrate)
+                            n_frames=args.calibrate,
+                            step=args.ckpt_step or None)
 
     ip = CTCInferenceParams(
         model_path=args.model_path, min_cell_size=args.min_cell_size,
@@ -108,10 +112,12 @@ def main(argv=None) -> None:
         split_min_size=args.split_min_size,
         pre_sequence_frames=args.pre_sequence_frames,
         dtype=args.dtype, state_dtype=args.state_dtype,
-        fused_cell=args.fused_cell, reset_on_jump=args.reset_on_jump)
+        fused_cell=args.fused_cell, reset_on_jump=args.reset_on_jump,
+        ckpt_step=args.ckpt_step)
     params, cfg = load_model(args.model_path, dtype=args.dtype,
                              state_dtype=args.state_dtype,
-                             fused_cell=args.fused_cell)
+                             fused_cell=args.fused_cell,
+                             step=args.ckpt_step or None)
 
     groups = defaultdict(list)  # frame shape -> [(n_frames, seq_dir, out_dir)]
     for ds, seq, seq_dir in find_sequences(args.root_data_dir):

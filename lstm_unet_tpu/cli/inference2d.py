@@ -58,6 +58,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="first calibrate int8 activation scales on the "
                          "sequence's first N frames (writes act_scales.json "
                          "into --model_path; later int8 runs reuse it)")
+    ap.add_argument("--ckpt_step", type=int,
+                    help="restore this saved checkpoint step (0 = latest)")
     return ap
 
 
@@ -71,7 +73,8 @@ def main(argv=None) -> None:
 
         calibrate_model_dir(params.model_path, params.sequence_path,
                             n_frames=calibrate,
-                            filename_format=params.filename_format)
+                            filename_format=params.filename_format,
+                            step=params.ckpt_step or None)
     run_inference(params)
 
 

@@ -309,6 +309,9 @@ class CTCInferenceParams(ParamsBase):
     """Inference config (reference: Params.py::CTCInferenceParams [H], knobs [M])."""
 
     model_path: str = ""           # dir with orbax ckpt + model_params.json
+    ckpt_step: int = 0             # restore this saved step (0 = latest) —
+                                   # model selection on val/seg without
+                                   # touching the model dir
     sequence_path: str = ""        # dir of t*.tif frames
     output_path: str = "./output"
     filename_format: str = "t*.tif"   # reference default [M]

@@ -42,7 +42,8 @@ from ..utils import log_print
 
 def load_model(model_path: str, dtype: Optional[str] = None,
                state_dtype: Optional[str] = None,
-               fused_cell: Optional[bool] = None) -> Tuple[Any, ModelConfig]:
+               fused_cell: Optional[bool] = None,
+               step: Optional[int] = None) -> Tuple[Any, ModelConfig]:
     """Rebuild model from model_params.json + orbax ckpt (reference: pickled
     arch + tf Checkpoint.restore [M])."""
     arch = load_model_params(model_path)
@@ -61,7 +62,7 @@ def load_model(model_path: str, dtype: Optional[str] = None,
     abstract = jax.eval_shape(
         lambda: ULSTMnet2D.init(jax.random.PRNGKey(0), cfg))
     mgr = CheckpointManager(model_path)
-    params = mgr.restore_params_only(abstract)
+    params = mgr.restore_params_only(abstract, step=step)
     return params, cfg
 
 
@@ -106,11 +107,13 @@ def calibrate_act_scales(params, cfg: ModelConfig, frames: List[np.ndarray],
     return running
 
 
-def _scales_provenance(model_path: str) -> Dict[str, Any]:
-    """Identity of the weights act_scales were calibrated against: latest
-    orbax checkpoint step (step-numbered subdirs) + sha256 of the arch file.
-    Guards against silently pairing stale static scales with new weights
-    after recalibration/ckpt swaps/dir copies (VERDICT r2 weak #6)."""
+def _scales_provenance(model_path: str,
+                       step: Optional[int] = None) -> Dict[str, Any]:
+    """Identity of the weights act_scales were calibrated against: the orbax
+    checkpoint step the weights came from (``step``; default = latest
+    step-numbered subdir) + sha256 of the arch file. Guards against silently
+    pairing stale static scales with new weights after recalibration/ckpt
+    swaps/dir copies (VERDICT r2 weak #6)."""
     import hashlib
 
     from ..checkpoint.ckpt import MODEL_PARAMS_FILE
@@ -120,6 +123,9 @@ def _scales_provenance(model_path: str) -> Dict[str, Any]:
     if os.path.exists(arch_path):
         with open(arch_path, "rb") as f:
             prov["arch_sha256"] = hashlib.sha256(f.read()).hexdigest()
+    if step is not None:
+        prov["ckpt_step"] = step
+        return prov
     steps = [int(d) for d in os.listdir(model_path)
              if d.isdigit() and os.path.isdir(os.path.join(model_path, d))]
     if steps:
@@ -127,20 +133,23 @@ def _scales_provenance(model_path: str) -> Dict[str, Any]:
     return prov
 
 
-def save_act_scales(model_path: str, scales: Dict[str, float]) -> str:
+def save_act_scales(model_path: str, scales: Dict[str, float],
+                    step: Optional[int] = None) -> str:
     path = os.path.join(model_path, ACT_SCALES_FILE)
     out = dict(scales)
-    out["__provenance__"] = _scales_provenance(model_path)
+    out["__provenance__"] = _scales_provenance(model_path, step)
     with open(path, "w") as f:
         json.dump(out, f, indent=2, sort_keys=True)
     return path
 
 
-def load_act_scales(model_path: str) -> Optional[Dict[str, float]]:
+def load_act_scales(model_path: str,
+                    step: Optional[int] = None) -> Optional[Dict[str, float]]:
     """Load calibrated scales, verifying provenance. On a stale stamp
-    (checkpoint advanced or architecture changed since calibration) warns
-    loudly and returns None — the int8 path then falls back to per-frame
-    dynamic scales, which are always weight-consistent."""
+    (checkpoint advanced or architecture changed since calibration, or the
+    run restores a different ``step`` than the scales were calibrated at)
+    warns loudly and returns None — the int8 path then falls back to
+    per-frame dynamic scales, which are always weight-consistent."""
     path = os.path.join(model_path, ACT_SCALES_FILE)
     if not os.path.exists(path):
         return None
@@ -152,7 +161,7 @@ def load_act_scales(model_path: str) -> Optional[Dict[str, float]]:
                   "cannot verify the scales match the checkpoint — "
                   "re-calibrate to silence this")
         return scales
-    current = _scales_provenance(model_path)
+    current = _scales_provenance(model_path, step)
     if stamped != current:
         log_print(f"WARNING: {path} is STALE (calibrated at {stamped}, "
                   f"model dir now {current}) — ignoring static scales, "
@@ -163,10 +172,11 @@ def load_act_scales(model_path: str) -> Optional[Dict[str, float]]:
 
 def calibrate_model_dir(model_path: str, sequence_path: str,
                         n_frames: int = 8,
-                        filename_format: str = "t*.tif") -> str:
+                        filename_format: str = "t*.tif",
+                        step: Optional[int] = None) -> str:
     """One-shot calibration: first ``n_frames`` of a sequence -> act_scales.json
     in the model dir (picked up automatically by every later int8 run)."""
-    params, cfg = load_model(model_path)  # float, as trained
+    params, cfg = load_model(model_path, step=step)  # float, as trained
     reader = CTCInferenceReader(sequence_path, filename_format,
                                 pre_sequence_frames=0, normalize=False)
     frames = []
@@ -175,7 +185,7 @@ def calibrate_model_dir(model_path: str, sequence_path: str,
         if len(frames) >= n_frames:
             break
     scales = calibrate_act_scales(params, cfg, frames)
-    path = save_act_scales(model_path, scales)
+    path = save_act_scales(model_path, scales, step=step)
     log_print(f"calibrated {len(scales)} activation sites over "
               f"{len(frames)} frames -> {path}")
     return path
@@ -199,8 +209,10 @@ class StreamingInferenceEngine:
         self._state = None
         self._shape = None
         # calibrated int8 activation scales, when saved next to the ckpt
-        self._act_scales = (load_act_scales(ip.model_path)
-                            if cfg.quant == "int8" and ip.model_path else None)
+        self._act_scales = (
+            load_act_scales(ip.model_path,
+                            step=getattr(ip, "ckpt_step", 0) or None)
+            if cfg.quant == "int8" and ip.model_path else None)
         self.mesh = None
         if getattr(ip, "mesh_shape", None):
             from ..parallel import make_mesh
@@ -510,7 +522,8 @@ def run_inference_batched(ip: CTCInferenceParams, sequence_paths, output_paths,
     if params is None or cfg is None:
         params, cfg = load_model(ip.model_path, dtype=ip.dtype,
                                  state_dtype=getattr(ip, "state_dtype", None),
-                                 fused_cell=getattr(ip, "fused_cell", None))
+                                 fused_cell=getattr(ip, "fused_cell", None),
+                                 step=getattr(ip, "ckpt_step", 0) or None)
     engine = StreamingInferenceEngine(params, cfg, ip)
     readers = [
         CTCInferenceReader(sp, ip.filename_format, ip.pre_sequence_frames,
@@ -608,7 +621,8 @@ def run_inference(ip: CTCInferenceParams) -> int:
     """
     params, cfg = load_model(ip.model_path, dtype=ip.dtype,
                                  state_dtype=getattr(ip, "state_dtype", None),
-                                 fused_cell=getattr(ip, "fused_cell", None))
+                                 fused_cell=getattr(ip, "fused_cell", None),
+                                 step=getattr(ip, "ckpt_step", 0) or None)
     engine = StreamingInferenceEngine(params, cfg, ip)
     # raw frames: normalization runs on device inside the jitted step;
     # decode happens on a prefetch thread, overlapped with device compute

@@ -372,6 +372,19 @@ def test_async_periodic_saves_restorable(synth_root, tmp_path):
     assert jax.tree_util.tree_structure(params4) == \
         jax.tree_util.tree_structure(t.model_params)
 
+    # ckpt_step plumbing: load_model(step=) restores that step's weights,
+    # not the latest (model selection on val/seg without touching the dir)
+    from lstm_unet_tpu.engine.infer import load_model
+
+    sel4, _ = load_model(p.experiment_save_dir, step=4)
+    latest, _ = load_model(p.experiment_save_dir)
+    head4 = jax.tree_util.tree_leaves(sel4)[0]
+    headL = jax.tree_util.tree_leaves(latest)[0]
+    assert head4.shape == headL.shape
+    assert not np.allclose(np.asarray(head4), np.asarray(headL))
+    assert np.array_equal(np.asarray(head4),
+                          np.asarray(jax.tree_util.tree_leaves(params4)[0]))
+
 
 def test_nonfinite_grads_are_skipped(synth_root, tmp_path):
     """optax.apply_if_finite containment: a poisoned batch must not poison

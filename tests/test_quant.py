@@ -170,6 +170,20 @@ def test_act_scales_provenance_guard(tmp_path):
         json.dump({"head": 2.0}, f)
     assert load_act_scales(d) == {"head": 2.0}
 
+    # step-selected runs (ckpt_step plumbing): scales calibrated at an
+    # explicit step only match runs restoring that same step
+    with open(os.path.join(d, "model_params.json"), "w") as f:
+        json.dump({"model_config": {"dtype": "float32"}}, f)
+    os.makedirs(os.path.join(d, "200"))
+    save_act_scales(d, {"head": 3.0}, step=100)
+    assert load_act_scales(d, step=100) == {"head": 3.0}
+    assert load_act_scales(d, step=200) is None   # different weights
+    assert load_act_scales(d) is None             # latest (200) != 100
+    save_act_scales(d, {"head": 4.0})             # latest = 200
+    assert load_act_scales(d) == {"head": 4.0}
+    assert load_act_scales(d, step=200) == {"head": 4.0}
+    assert load_act_scales(d, step=100) is None
+
 
 def test_calibrated_int8_end_to_end(trained_tiny, tmp_path):
     """calibrate_model_dir writes act_scales.json; the int8 engine picks it
