@@ -1,1 +1,2 @@
-from .ckpt import CheckpointManager, save_model_params, load_model_params  # noqa: F401
+from .ckpt import (CheckpointManager, average_checkpoints,  # noqa: F401
+                   save_model_params, load_model_params)

@@ -88,3 +88,76 @@ class CheckpointManager:
 
     def close(self) -> None:
         self._mgr.close()
+
+
+def average_checkpoints(src_dir: str, out_dir: str,
+                        steps=None, out_step: Optional[int] = None) -> int:
+    """Checkpoint averaging ("model soup") into a fresh inference model dir.
+
+    Uniform parameter-space average over ``steps`` (default: every step saved
+    under ``src_dir``), accumulated in float32 and cast back to each leaf's
+    original dtype. The result is written to ``out_dir`` as a *params-only*
+    checkpoint at ``out_step`` (default: max of the averaged steps) with
+    ``model_params.json`` copied alongside, so the standard
+    ``engine.infer.load_model`` path loads it unchanged. The training dir is
+    never touched (a soup step saved in-place would evict real checkpoints
+    via max_to_keep), and optimizer state is deliberately not averaged —
+    soups are an inference-time artifact. ``act_scales.json`` is NOT copied:
+    averaged weights shift activation ranges, so the int8 path must be
+    recalibrated (the step-stamped provenance guard would reject stale
+    scales anyway).
+
+    Beyond-reference capability: the reference keeps max_to_keep TF
+    checkpoints (SURVEY.md §5) but has no averaging; standard practice in
+    production serving stacks since late-epoch SGD iterates are cheap
+    variance reduction.
+    """
+    import numpy as np
+
+    src = CheckpointManager(src_dir)
+    try:
+        steps = sorted(int(s) for s in (steps or src.all_steps()))
+        if not steps:
+            raise FileNotFoundError(f"no checkpoints under {src_dir}")
+        acc = None
+        treedef = None
+        dtypes = None
+        for s in steps:
+            out = src._mgr.restore(
+                s, args=ocp.args.Composite(params=ocp.args.StandardRestore()))
+            import jax
+            leaves, td = jax.tree_util.tree_flatten(out["params"])
+            if acc is None:
+                treedef = td
+                dtypes = [np.asarray(l).dtype for l in leaves]
+                # np.asarray can alias a read-only buffer when the dtype
+                # already matches — the accumulator must own its memory
+                acc = [np.array(l, dtype=np.float32, copy=True)
+                       for l in leaves]
+            else:
+                if td != treedef:
+                    raise ValueError(
+                        f"step {s} param tree differs from step {steps[0]}")
+                for a, l in zip(acc, leaves):
+                    a += np.asarray(l, dtype=np.float32)
+        inv = 1.0 / float(len(steps))
+        import jax
+        avg = [np.asarray(a * inv, dtype=dt) for a, dt in zip(acc, dtypes)]
+        params = jax.tree_util.tree_unflatten(treedef, avg)
+    finally:
+        src.close()
+
+    os.makedirs(out_dir, exist_ok=True)
+    arch_src = os.path.join(src_dir, MODEL_PARAMS_FILE)
+    if os.path.exists(arch_src):
+        with open(arch_src) as f:
+            save_model_params(out_dir, json.load(f))
+    out_step = out_step if out_step is not None else max(steps)
+    dst = CheckpointManager(out_dir, max_to_keep=1)
+    try:
+        dst._mgr.save(out_step,
+                      args=ocp.args.Composite(params=ocp.args.StandardSave(params)))
+        dst.wait()
+    finally:
+        dst.close()
+    return out_step

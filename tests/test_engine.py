@@ -386,6 +386,39 @@ def test_async_periodic_saves_restorable(synth_root, tmp_path):
                           np.asarray(jax.tree_util.tree_leaves(params4)[0]))
 
 
+def test_average_checkpoints_soup(synth_root, tmp_path):
+    """Checkpoint averaging: the soup dir is a standard params-only model
+    dir whose leaves are the element-wise mean of the averaged steps, and
+    the source training dir keeps all of its checkpoints."""
+    p = _params(synth_root, tmp_path, save_checkpoint_iteration=4)
+    t = Trainer(p, seed=0)
+    t.train(num_iterations=9)
+    from lstm_unet_tpu.checkpoint import CheckpointManager, average_checkpoints
+    from lstm_unet_tpu.engine.infer import load_model
+
+    out = str(tmp_path / "soup")
+    out_step = average_checkpoints(p.experiment_save_dir, out, steps=[4, 8])
+    assert out_step == 8
+
+    abstract = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), t.model_params)
+    src = CheckpointManager(p.experiment_save_dir)
+    p4 = src.restore_params_only(abstract, step=4)
+    p8 = src.restore_params_only(abstract, step=8)
+    assert {4, 8, 9} <= set(src.all_steps())  # source dir untouched
+
+    soup, _cfg = load_model(out)  # standard load path, no special casing
+    l4 = jax.tree_util.tree_leaves(p4)
+    l8 = jax.tree_util.tree_leaves(p8)
+    ls = jax.tree_util.tree_leaves(soup)
+    assert len(ls) == len(l4)
+    for a, b, s in zip(l4, l8, ls):
+        assert s.dtype == a.dtype  # original dtype preserved
+        want = ((np.asarray(a, np.float32) + np.asarray(b, np.float32)) / 2
+                ).astype(a.dtype)
+        np.testing.assert_array_equal(np.asarray(s), want)
+
+
 def test_nonfinite_grads_are_skipped(synth_root, tmp_path):
     """optax.apply_if_finite containment: a poisoned batch must not poison
     params (SURVEY.md §5 failure-detection upgrade)."""
