@@ -34,7 +34,8 @@ CPU_BASELINE_FPS = 0.0297
 
 
 def build_pipeline(size: int, dtype: str, tiny: bool, fused_cell: bool = False,
-                   calibrated: bool = False, ccl_method: str = "sweep"):
+                   calibrated: bool = False, ccl_method: str = "sweep",
+                   batch: int = 1):
     from lstm_unet_tpu.config import default_net_kernel_params, tiny_net_kernel_params
     from lstm_unet_tpu.models import ModelConfig, ULSTMnet2D
     from lstm_unet_tpu.ops.postprocess import postprocess_frame
@@ -46,27 +47,32 @@ def build_pipeline(size: int, dtype: str, tiny: bool, fused_cell: bool = False,
     cfg = ModelConfig.make(nkp, dtype="bfloat16" if dtype == "int8" else dtype,
                            quant=quant, fused_cell=fused_cell)
     params = ULSTMnet2D.init(jax.random.PRNGKey(0), cfg)
-    state = ULSTMnet2D.init_state(cfg, 1, size, size)
+    state = ULSTMnet2D.init_state(cfg, batch, size, size)
 
     # params must be an explicit argument: closed-over arrays are baked into
     # the HLO as constants (bloats the program and breaks remote compile)
     def step(params, state, frame):
-        # full production streaming step: on-device normalize + model +
-        # softmax + instance postprocess (same chain as engine.infer);
-        # integer frames take the exact MXU-histogram quantile
-        if jnp.issubdtype(frame.dtype, jnp.integer):
-            from lstm_unet_tpu.io.preprocess import integer_percentile_bounds
+        # full production streaming step: per-lane on-device normalize +
+        # model + softmax + instance postprocess (same chain as
+        # engine.infer); integer frames take the exact MXU-histogram
+        # quantile. batch>1 = concurrent independent streams on one chip
+        # (the serving configuration of engine.infer.run_inference_batched)
+        def norm(f):  # [H,W,1]
+            if jnp.issubdtype(f.dtype, jnp.integer):
+                from lstm_unet_tpu.io.preprocess import integer_percentile_bounds
 
-            lo, hi = integer_percentile_bounds(frame[0, :, :, 0], 1.0, 99.0)
-        else:
-            lo, hi = jnp.percentile(
-                frame.astype(jnp.float32).reshape(-1), jnp.array([1.0, 99.0]))
-        frame = (frame.astype(jnp.float32) - lo) / jnp.maximum(hi - lo, 1e-6)
+                lo, hi = integer_percentile_bounds(f[:, :, 0], 1.0, 99.0)
+            else:
+                lo, hi = jnp.percentile(
+                    f.astype(jnp.float32).reshape(-1), jnp.array([1.0, 99.0]))
+            return (f.astype(jnp.float32) - lo) / jnp.maximum(hi - lo, 1e-6)
+
+        frame = jax.vmap(norm)(frame)
         new_state, logits = ULSTMnet2D.step(params, state, frame, cfg)
-        probs = jax.nn.softmax(logits[0], axis=-1)
-        labels = postprocess_frame(probs, cell_thresh=0.5, edge_thresh=0.3,
-                                   min_cell_size=10, grow_iters=3,
-                                   ccl_method=ccl_method)
+        probs = jax.nn.softmax(logits, axis=-1)
+        labels = jax.vmap(lambda p: postprocess_frame(
+            p, cell_thresh=0.5, edge_thresh=0.3, min_cell_size=10,
+            grow_iters=3, ccl_method=ccl_method))(probs)
         return new_state, labels
 
     jitted = jax.jit(step, donate_argnums=(1,))
@@ -94,16 +100,23 @@ def build_pipeline(size: int, dtype: str, tiny: bool, fused_cell: bool = False,
     return (lambda state, frame: jitted(params, state, frame)), state
 
 
-def make_frames(n: int, size: int) -> np.ndarray:
+def make_frames(n: int, size: int, batch: int = 1) -> np.ndarray:
     from lstm_unet_tpu.io.synthetic import make_cell_sequence
 
     # raw uint16 frames, exactly what production streaming uploads: the
     # engine normalizes on device (integer frames take the MXU-histogram
     # quantile; the old bench normalized on the host AND re-normalized the
-    # float result on device — double work and a 2x-wide upload)
+    # float result on device — double work and a 2x-wide upload).
+    # batch>1: decorrelate the lanes by rolling each one down H — distinct
+    # streams without B generator passes
     imgs, _ = make_cell_sequence(num_frames=n, height=size, width=size,
                                  num_cells=40, seed=7)
-    return np.stack(imgs)[..., None, :, :, None]
+    frames = np.stack(imgs)[..., None, :, :, None]  # [n,1,H,W,1]
+    if batch > 1:
+        frames = np.concatenate(
+            [np.roll(frames, (size // batch) * b, axis=2)
+             for b in range(batch)], axis=1)
+    return frames
 
 
 def bench_train(size: int, dtype: str, tiny: bool, steps: int = 10,
@@ -177,6 +190,9 @@ def main():
     ap.add_argument("--ccl", type=str, default="sweep",
                     choices=["sweep", "scan"],
                     help="CCL variant for the fused A/B (bit-identical)")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="concurrent independent streams on the chip "
+                         "(serving config); value = AGGREGATE frames/sec")
     args = ap.parse_args()
 
     if args.mode == "train":
@@ -186,8 +202,9 @@ def main():
         return
 
     step, state = build_pipeline(args.size, args.dtype, args.tiny,
-                                 args.fused_cell, args.calibrated, args.ccl)
-    frames = make_frames(min(args.frames, 16), args.size)
+                                 args.fused_cell, args.calibrated, args.ccl,
+                                 args.batch)
+    frames = make_frames(min(args.frames, 16), args.size, args.batch)
     dev_frames = [jax.device_put(jnp.asarray(f)) for f in frames]
 
     # warm-up: compile + 2 steady-state steps. NOTE: sync via a value fetch —
@@ -205,10 +222,13 @@ def main():
     int(jnp.max(labels))
     dt = time.perf_counter() - t0
 
-    fps = args.frames / dt
+    fps = args.frames * args.batch / dt
+    lanes = (f", {args.batch} concurrent streams aggregate"
+             if args.batch > 1 else "")
     out = {
         "metric": f"streaming inference frames/sec/chip @ {args.size}x{args.size} "
-                  f"(flagship ULSTMnet2D, {args.dtype}, on-device postprocess)",
+                  f"(flagship ULSTMnet2D, {args.dtype}, on-device postprocess"
+                  f"{lanes})",
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / CPU_BASELINE_FPS, 3),
