@@ -120,7 +120,7 @@ def make_frames(n: int, size: int, batch: int = 1) -> np.ndarray:
 
 
 def bench_train(size: int, dtype: str, tiny: bool, steps: int = 10,
-                emit: bool = True, remat="full"):
+                emit: bool = True, remat="full", B: int = 5, T: int = 7):
     """Training-step throughput (B5/T7 reference config, remat BPTT).
 
     With ``emit`` prints its own JSON line (--mode train); the default
@@ -139,8 +139,10 @@ def bench_train(size: int, dtype: str, tiny: bool, steps: int = 10,
     opt = optax.adam(1e-4)
     opt_state = opt.init(params)
     remat_arg = {"full": True, "none": False}.get(remat, remat)
+    # B5/T7 is the reference-style config [M]; --train_batch/--train_unroll
+    # override for throughput-scaling sweeps (frames/s amortizes per-step
+    # overheads over B·T frames; quality semantics of T stay the trainer's)
     step = make_train_step(cfg, opt, (0.15, 0.25, 0.6), remat=remat_arg)
-    B, T = 5, 7  # reference-style config [M]
     state = ULSTMnet2D.init_state(cfg, B, size, size)
     img = jnp.zeros((B, T, size, size, 1), jnp.float32) + 0.5
     seg = jnp.zeros((B, T, size, size), jnp.int32)
@@ -187,18 +189,33 @@ def main():
     ap.add_argument("--no-train_too", dest="train_too", action="store_false")
     ap.add_argument("--remat_policy", type=str, default="full",
                     choices=["full", "save_outputs", "none"])
+    ap.add_argument("--train_batch", type=int, default=5,
+                    help="training bench batch B (reference config is B5)")
+    ap.add_argument("--train_unroll", type=int, default=7,
+                    help="training bench BPTT unroll T (reference is T7)")
     ap.add_argument("--ccl", type=str, default="sweep",
                     choices=["sweep", "scan"],
                     help="CCL variant for the fused A/B (bit-identical)")
+    ap.add_argument("--int8_conv", type=str, default="conv",
+                    choices=["conv", "dots"],
+                    help="int8 conv lowering A/B: XLA conv (blocked layouts"
+                         " + re-tiling copies) vs shifted-tap dot_general "
+                         "(bit-identical, ops/quant.py::_conv_int8)")
     ap.add_argument("--batch", type=int, default=1,
                     help="concurrent independent streams on the chip "
                          "(serving config); value = AGGREGATE frames/sec")
     args = ap.parse_args()
 
+    if args.int8_conv != "conv":
+        from lstm_unet_tpu.ops import quant
+
+        quant.INT8_CONV_METHOD = args.int8_conv
+
     if args.mode == "train":
         bench_train(256 if args.size == 512 else args.size,
                     "bfloat16" if args.dtype == "int8" else args.dtype,
-                    args.tiny, remat=args.remat_policy)
+                    args.tiny, remat=args.remat_policy,
+                    B=args.train_batch, T=args.train_unroll)
         return
 
     step, state = build_pipeline(args.size, args.dtype, args.tiny,

@@ -57,6 +57,44 @@ def quantize_act(x: jax.Array, scale: Optional[jax.Array] = None
 # materializing an int32 intermediate (A/B'd on v5e — see BASELINE.md).
 ACC_DTYPE = jnp.int32
 
+# int8 conv lowering method. 'conv' = conv_general_dilated (XLA picks
+# blocked conv layouts and inserts re-tiling copies around them — measured
+# ~8 ms/frame at 512², BASELINE.md r2 int8 findings). 'dots' = shifted-tap
+# accumulation: a kh×kw conv is the exact integer sum of kh·kw channel
+# matmuls over statically shifted views, lowering to plain dot_general with
+# NO conv-specific layout assignment — the A/B probe at the copies.
+# Bit-identical by construction (integer arithmetic, same accumulator).
+# 'dots' applies only where h·w ≥ INT8_DOTS_MIN_HW (the copies live at the
+# large-spatial levels 0–1; small levels keep the fused conv).
+import os as _os
+
+INT8_CONV_METHOD = _os.environ.get("LSTM_UNET_INT8_CONV", "conv")
+INT8_DOTS_MIN_HW = 128 * 128
+
+
+def _conv_int8(qx: jax.Array, kq: jax.Array) -> jax.Array:
+    """int8 NHWC SAME conv -> int32, via the selected lowering method."""
+    n, h, w, ci = qx.shape
+    kh, kw, _, co = kq.shape
+    if (INT8_CONV_METHOD != "dots" or h * w < INT8_DOTS_MIN_HW
+            or kh % 2 == 0 or kw % 2 == 0):
+        return jax.lax.conv_general_dilated(
+            qx, kq, (1, 1), "SAME", dimension_numbers=_DIMNUMS,
+            preferred_element_type=ACC_DTYPE)
+    ph, pw = kh // 2, kw // 2
+    xp = jnp.pad(qx, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+    acc = None
+    for dy in range(kh):
+        for dx in range(kw):
+            tap = jax.lax.slice(
+                xp, (0, dy, dx, 0), (n, dy + h, dx + w, ci))
+            t = jax.lax.dot_general(
+                tap.reshape(n * h * w, ci), kq[dy, dx],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=ACC_DTYPE)
+            acc = t if acc is None else acc + t
+    return acc.reshape(n, h, w, co)
+
 
 def conv2d_q(x: jax.Array, qconv: Dict[str, jax.Array],
              out_dtype=jnp.float32) -> jax.Array:
@@ -67,11 +105,7 @@ def conv2d_q(x: jax.Array, qconv: Dict[str, jax.Array],
     (calibrated input scale — skips the dynamic abs-max pass).
     """
     qx, s_x = quantize_act(x, qconv.get("x_scale"))
-    acc = jax.lax.conv_general_dilated(
-        qx, qconv["kernel_q"], (1, 1), "SAME",
-        dimension_numbers=_DIMNUMS,
-        preferred_element_type=ACC_DTYPE,
-    )
+    acc = _conv_int8(qx, qconv["kernel_q"])
     y = acc.astype(jnp.float32) * (s_x * qconv["w_scale"])
     bias = qconv.get("bias")
     if bias is not None:
@@ -91,12 +125,8 @@ def conv2d_q_pair(a: jax.Array, b: jax.Array, qconv: Dict[str, jax.Array],
     qa, s_a = quantize_act(a, qconv.get("x_scale_a"))
     qb, s_b = quantize_act(b, qconv.get("x_scale_b"))
     k = qconv["kernel_q"]
-    acc_a = jax.lax.conv_general_dilated(
-        qa, k[:, :, :ca], (1, 1), "SAME", dimension_numbers=_DIMNUMS,
-        preferred_element_type=ACC_DTYPE)
-    acc_b = jax.lax.conv_general_dilated(
-        qb, k[:, :, ca:], (1, 1), "SAME", dimension_numbers=_DIMNUMS,
-        preferred_element_type=ACC_DTYPE)
+    acc_a = _conv_int8(qa, k[:, :, :ca])
+    acc_b = _conv_int8(qb, k[:, :, ca:])
     w = qconv["w_scale"]
     y = (acc_a.astype(jnp.float32) * (s_a * w)
          + acc_b.astype(jnp.float32) * (s_b * w))

@@ -221,3 +221,25 @@ def test_calibrated_int8_end_to_end(trained_tiny, tmp_path):
             glob.glob(str(tmp_path / tag / "mask*.tif")))]
     score = seg_measure_sequence(outs["dynamic"], outs["calibrated"])
     assert score > 0.9, score
+
+
+def test_int8_dots_lowering_bit_identical(rng, monkeypatch):
+    """'dots' (shifted-tap dot_general) == 'conv' lowering, bit-exact.
+
+    Integer arithmetic with the same int32 accumulator: the sum of kh*kw
+    channel matmuls over statically shifted views is EXACTLY the SAME-padded
+    conv — any difference is a lowering bug, not tolerance.
+    """
+    from lstm_unet_tpu.ops import quant
+
+    for kh, hw, ci, co in ((3, 16, 8, 16), (5, 12, 6, 8)):
+        x = jnp.asarray(rng.normal(0, 1.0, (2, hw, hw, ci)).astype(np.float32))
+        conv = init_conv(jax.random.PRNGKey(3), kh, kh, ci, co)
+        q, s = quantize_weight(conv["kernel"])
+        qconv = {"kernel_q": q, "w_scale": s, "bias": conv["bias"]}
+        monkeypatch.setattr(quant, "INT8_CONV_METHOD", "conv")
+        y_conv = np.asarray(conv2d_q(x, qconv))
+        monkeypatch.setattr(quant, "INT8_CONV_METHOD", "dots")
+        monkeypatch.setattr(quant, "INT8_DOTS_MIN_HW", 1)
+        y_dots = np.asarray(conv2d_q(x, qconv))
+        np.testing.assert_array_equal(y_conv, y_dots)
