@@ -88,12 +88,13 @@ def _conv_int8(qx: jax.Array, kq: jax.Array) -> jax.Array:
         for dx in range(kw):
             tap = jax.lax.slice(
                 xp, (0, dy, dx, 0), (n, dy + h, dx + w, ci))
+            # contract ci directly on the 4-D tap: [n,h,w,ci]x[ci,co] —
+            # XLA collapses the free dims itself, no reshape op to place
             t = jax.lax.dot_general(
-                tap.reshape(n * h * w, ci), kq[dy, dx],
-                (((1,), (0,)), ((), ())),
+                tap, kq[dy, dx], (((3,), (0,)), ((), ())),
                 preferred_element_type=ACC_DTYPE)
             acc = t if acc is None else acc + t
-    return acc.reshape(n, h, w, co)
+    return acc
 
 
 def conv2d_q(x: jax.Array, qconv: Dict[str, jax.Array],
