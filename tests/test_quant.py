@@ -232,8 +232,10 @@ def test_int8_dots_lowering_bit_identical(rng, monkeypatch):
     """
     from lstm_unet_tpu.ops import quant
 
-    for kh, hw, ci, co in ((3, 16, 8, 16), (5, 12, 6, 8)):
-        x = jnp.asarray(rng.normal(0, 1.0, (2, hw, hw, ci)).astype(np.float32))
+    # third case: non-square H/W (real-CTC 690x628-style geometry scaled down)
+    for kh, (h, w), ci, co in ((3, (16, 16), 8, 16), (5, (12, 12), 6, 8),
+                               (3, (18, 14), 4, 8)):
+        x = jnp.asarray(rng.normal(0, 1.0, (2, h, w, ci)).astype(np.float32))
         conv = init_conv(jax.random.PRNGKey(3), kh, kh, ci, co)
         q, s = quantize_weight(conv["kernel"])
         qconv = {"kernel_q": q, "w_scale": s, "bias": conv["bias"]}
