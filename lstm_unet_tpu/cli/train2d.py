@@ -54,6 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--continue_run", action="store_true", default=None)
     ap.add_argument("--dry_run", action="store_true", default=None)
     ap.add_argument("--profile", action="store_true", default=None)
+    ap.add_argument("--watchdog_secs", type=float,
+                    help="exit 17 if no train step completes for this many "
+                         "seconds (wedged device client); 0 disables. Pair "
+                         "with scripts/train_retry.sh for auto-relaunch.")
     ap.add_argument("--dtype", type=str, choices=["float32", "bfloat16"])
     ap.add_argument("--remat", action="store_true", default=None)
     ap.add_argument("--remat_policy", type=str,

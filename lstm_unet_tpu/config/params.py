@@ -285,6 +285,14 @@ class CTCParams(ParamsBase):
     load_checkpoint_path: str = ""
     continue_run: bool = False
     profile: bool = False
+    # stalled-step failure detector (no reference analog — SURVEY.md §5
+    # failure-detection row). >0 arms utils.watchdog.StallWatchdog: if no
+    # training step completes for this many seconds the process hard-exits
+    # with code 17 so a supervisor (scripts/train_retry.sh) can relaunch
+    # with continue_run. Covers the observed tunnel-client wedge (threads
+    # parked in futex/poll, zero CPU, no exception — unrecoverable
+    # in-process). 0 disables.
+    watchdog_secs: float = 0.0
 
     # parallel (new in the rebuild; no reference analog — SURVEY.md §2 checklist)
     mesh_shape: Dict[str, int] = field(default_factory=lambda: {"data": 1})

@@ -306,8 +306,18 @@ class Trainer:
         frames_done = 0
 
         profiling = False
+        watchdog = None
+        if p.watchdog_secs > 0:
+            # armed BEFORE the first step so the timeout must also cover
+            # first-step compile (~2-6 min on the tunneled TPU) + restore;
+            # fed once per loop iteration — the wedge stalls the loop
+            # itself (donation makes dispatch N+1 block on step N)
+            from ..utils.watchdog import StallWatchdog
+            watchdog = StallWatchdog(p.watchdog_secs, label="train").start()
         try:
             for it in range(n_iter):
+                if watchdog:
+                    watchdog.feed()
                 batch = self._put(self.reader.get_batch())
                 img, seg, valid, full_seg, is_last = batch
 
@@ -378,6 +388,8 @@ class Trainer:
                 if self.ckpt and (it + 1) % p.save_checkpoint_iteration == 0:
                     self._save_checkpoint()
         finally:
+            if watchdog:
+                watchdog.stop()
             if profiling:  # stop leaked traces (short runs / exceptions)
                 try:
                     jax.profiler.stop_trace()
