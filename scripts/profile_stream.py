@@ -39,6 +39,59 @@ def bucket(name: str) -> str:
     return "other"
 
 
+def device_op_self_times(data: dict):
+    """(self_time_by_op_name, device_busy_us) from a jax.profiler trace.
+
+    The device "XLA Ops" track is NESTED: a `while` op's span contains its
+    body's fusion spans (and scan bodies contain whole sub-programs), so
+    naively summing `dur` double-counts — a B5/T7 BPTT step traced 5.6 s of
+    "op time" against 2.8 s of actual device busy time. A stack sweep per
+    thread assigns each span its EXCLUSIVE (self) time: dur minus the time
+    covered by spans nested inside it. Exclusive times sum to device busy
+    time, so buckets are honest fractions of the step.
+    """
+    meta = [e for e in data.get("traceEvents", []) if e.get("ph") == "M"]
+    dev_pids = {e["pid"] for e in meta
+                if e.get("name") == "process_name"
+                and "TPU" in str(e["args"].get("name", ""))}
+    tname = {(e["pid"], e.get("tid")): str(e["args"].get("name", ""))
+             for e in meta if e.get("name") == "thread_name"}
+
+    by_tid = defaultdict(list)
+    steps_total = 0.0
+    for e in data.get("traceEvents", []):
+        if e.get("ph") != "X" or "dur" not in e or e["pid"] not in dev_pids:
+            continue
+        name = tname.get((e["pid"], e.get("tid")), "")
+        if name == "Steps":
+            steps_total += e["dur"]
+            continue
+        if name == "XLA Modules":  # whole-program parents of every op
+            continue
+        by_tid[(e["pid"], e.get("tid"))].append(e)
+
+    self_by_name = defaultdict(float)
+    busy = 0.0
+    for events in by_tid.values():
+        # parents sort before their children: earlier start, then longer
+        events.sort(key=lambda e: (e["ts"], -e["dur"]))
+        stack = []  # (end_ts, name, remaining_self)
+        for e in events:
+            ts, dur = e["ts"], e["dur"]
+            while stack and stack[-1][0] <= ts + 1e-9:
+                end, nm, self_t = stack.pop()
+                self_by_name[nm] += self_t
+                busy += self_t
+            if stack:  # nested: parent loses this span's duration
+                stack[-1][2] -= dur
+            stack.append([ts + dur, e.get("name", ""), dur])
+        while stack:
+            end, nm, self_t = stack.pop()
+            self_by_name[nm] += self_t
+            busy += self_t
+    return self_by_name, busy, steps_total
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--dtype", type=str, default="int8")
@@ -120,27 +173,17 @@ def main() -> None:
     with gzip.open(traces[0], "rt") as f:
         data = json.load(f)
 
-    # device-lane complete events only (TensorCore op track)
+    # device-lane events, EXCLUSIVE time (nested spans de-duplicated)
+    by_name, busy, steps_total = device_op_self_times(data)
     by_bucket = defaultdict(float)
-    by_name = defaultdict(float)
-    pids = {p["pid"] for p in data.get("traceEvents", [])
-            if p.get("ph") == "M" and p.get("name") == "process_name"
-            and "TPU" in str(p.get("args", {}).get("name", ""))}
-    for e in data.get("traceEvents", []):
-        if e.get("ph") != "X" or "dur" not in e:
-            continue
-        if pids and e.get("pid") not in pids:
-            continue
-        name = e.get("name", "")
-        if name.startswith("jit_"):  # whole-program span: contains the ops
-            continue
-        by_bucket[bucket(name)] += e["dur"]
-        by_name[name] += e["dur"]
+    for n, t in by_name.items():
+        by_bucket[bucket(n)] += t
     total = sum(by_bucket.values())
-    per_frame = total / args.frames / 1e3
     unit = "step" if args.mode == "train" else "frame"
-    print(f"device total {total / 1e3:.2f} ms over {args.frames} {unit}s "
-          f"= {per_frame:.2f} ms/{unit}")
+    print(f"device busy {total / 1e3:.2f} ms over {args.frames} {unit}s "
+          f"= {total / args.frames / 1e3:.2f} ms/{unit}"
+          + (f" (Steps track: {steps_total / args.frames / 1e3:.2f} "
+             f"ms/{unit})" if steps_total else ""))
     for b, t in sorted(by_bucket.items(), key=lambda kv: -kv[1]):
         print(f"  {b:20s} {t / args.frames / 1e3:7.2f} ms/frame "
               f"({100 * t / total:4.1f}%)")
