@@ -204,12 +204,22 @@ def main():
     ap.add_argument("--batch", type=int, default=1,
                     help="concurrent independent streams on the chip "
                          "(serving config); value = AGGREGATE frames/sec")
+    ap.add_argument("--conv_method", type=str, default="conv",
+                    choices=["conv", "dots"],
+                    help="FLOAT conv lowering A/B (ops/conv.py): applies to "
+                         "bf16 inference and the training step; 'dots' "
+                         "replaces conv layout assignment (and the "
+                         "conv-transpose grads in BPTT) with plain matmuls")
     args = ap.parse_args()
 
     if args.int8_conv != "conv":
         from lstm_unet_tpu.ops import quant
 
         quant.INT8_CONV_METHOD = args.int8_conv
+    if args.conv_method != "conv":
+        from lstm_unet_tpu.ops import conv as conv_mod
+
+        conv_mod.CONV_METHOD = args.conv_method
 
     if args.mode == "train":
         bench_train(256 if args.size == 512 else args.size,

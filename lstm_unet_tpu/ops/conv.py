@@ -10,12 +10,45 @@ matches TF (SURVEY.md §7 hard-part #4).
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 _DIMNUMS = ("NHWC", "HWIO", "NHWC")
+
+# float conv lowering method, mirroring ops/quant.py's int8 A/B: 'conv' =
+# conv_general_dilated (XLA conv layout assignment inserts re-tiling copies
+# — measured 256 ms/step = 18% of bf16 BPTT and 8 ms/frame of the int8
+# stream, BASELINE.md r3); 'dots' = shifted-tap accumulation, a kh×kw
+# SAME/stride-1 conv as the sum of kh·kw channel matmuls over statically
+# shifted views — plain dot_general, NO conv-specific layouts, and its
+# BACKWARD is also plain matmuls (no conv-transpose layout copies in BPTT).
+# f32 tap accumulation, one final round to the input dtype — same
+# accumulation discipline as the MXU conv path, but the kh·kw-way add tree
+# is explicit, so results are close-not-bit-identical to 'conv' in float
+# (unlike the int8 twin, which is exact). Flagship channels are ≥128, so
+# every tap matmul fully feeds the MXU K dimension.
+CONV_METHOD = os.environ.get("LSTM_UNET_CONV", "conv")
+CONV_DOTS_MIN_HW = 128 * 128
+
+
+def _conv_dots(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """SAME/stride-1 NHWC conv via shifted-tap dot_general accumulation."""
+    n, h, w, ci = x.shape
+    kh, kw, _, co = kernel.shape
+    ph, pw = kh // 2, kw // 2
+    xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+    acc = None
+    for dy in range(kh):
+        for dx in range(kw):
+            tap = jax.lax.slice(xp, (0, dy, dx, 0), (n, dy + h, dx + w, ci))
+            t = jax.lax.dot_general(
+                tap, kernel[dy, dx], (((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = t if acc is None else acc + t
+    return acc.astype(x.dtype)
 
 
 def init_conv(rng: jax.Array, kh: int, kw: int, cin: int, cout: int,
@@ -36,10 +69,16 @@ def conv2d(x: jax.Array, kernel: jax.Array, bias: Optional[jax.Array] = None,
     ``preferred_element_type=f32`` also breaks the bf16 backward pass: the
     conv transpose then pairs an f32 cotangent with bf16 operands.)
     """
-    y = jax.lax.conv_general_dilated(
-        x, kernel.astype(x.dtype), stride, padding,
-        dimension_numbers=_DIMNUMS,
-    )
+    kh, kw = kernel.shape[0], kernel.shape[1]
+    if (CONV_METHOD == "dots" and stride == (1, 1) and padding == "SAME"
+            and kh % 2 == 1 and kw % 2 == 1
+            and x.shape[1] * x.shape[2] >= CONV_DOTS_MIN_HW):
+        y = _conv_dots(x, kernel.astype(x.dtype))
+    else:
+        y = jax.lax.conv_general_dilated(
+            x, kernel.astype(x.dtype), stride, padding,
+            dimension_numbers=_DIMNUMS,
+        )
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y

@@ -463,3 +463,45 @@ def test_postprocess_fov_matmul_matches_scatter():
         b = postprocess_frame(jnp.asarray(probs), min_cell_size=3, fov=fov,
                               relabel_method="matmul")
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_conv_dots_lowering_matches_conv_fwd_and_grad(monkeypatch):
+    """Float 'dots' (shifted-tap dot_general) ≈ XLA conv, fwd + backward.
+
+    Unlike the int8 twin (bit-exact integers, test_quant.py) the float
+    lowering differs only in the explicit kh·kw add tree over f32 tap
+    accumulators vs the conv's single f32 accumulation — tolerances are
+    float-roundoff-level. The gradient check matters most: 'dots' exists to
+    replace conv-transpose layout copies in BPTT with plain matmul grads.
+    """
+    import numpy as np
+
+    from lstm_unet_tpu.ops import conv as conv_mod
+    from lstm_unet_tpu.ops.conv import conv2d, init_conv
+
+    rng = np.random.default_rng(7)
+    for kh, (h, w), ci, co in ((3, (12, 10), 8, 16), (5, (9, 9), 4, 8)):
+        x = jnp.asarray(rng.normal(0, 1, (2, h, w, ci)).astype(np.float32))
+        c = init_conv(jax.random.PRNGKey(1), kh, kh, ci, co)
+
+        def run(method):
+            monkeypatch.setattr(conv_mod, "CONV_METHOD", method)
+            monkeypatch.setattr(conv_mod, "CONV_DOTS_MIN_HW", 1)
+            y, (gx, gk) = jax.value_and_grad(
+                lambda xx, kk: jnp.sum(conv2d(xx, kk, c["bias"]) ** 2),
+                argnums=(0, 1))(x, c["kernel"])
+            return y, gx, gk
+
+        y_c, gx_c, gk_c = run("conv")
+        y_d, gx_d, gk_d = run("dots")
+        np.testing.assert_allclose(y_d, y_c, rtol=2e-5)
+        np.testing.assert_allclose(gx_d, gx_c, rtol=2e-4, atol=1e-4)
+        np.testing.assert_allclose(gk_d, gk_c, rtol=2e-4, atol=1e-4)
+
+    # gate: strides / even kernels / small HW always take the conv path
+    monkeypatch.setattr(conv_mod, "CONV_METHOD", "dots")
+    monkeypatch.setattr(conv_mod, "CONV_DOTS_MIN_HW", 10 ** 9)
+    x = jnp.ones((1, 8, 8, 4))
+    c = init_conv(jax.random.PRNGKey(2), 3, 3, 4, 4)
+    out = conv2d(x, c["kernel"], c["bias"], stride=(2, 2))
+    assert out.shape == (1, 4, 4, 4)
