@@ -104,9 +104,24 @@ def main() -> None:
                     help="train: profile the BPTT step (B5/T7, remat)")
     ap.add_argument("--remat_policy", type=str, default="full",
                     choices=["full", "save_outputs", "none"])
+    ap.add_argument("--conv_method", type=str, default="conv",
+                    choices=["conv", "dots"],
+                    help="float conv lowering (ops/conv.py A/B)")
+    ap.add_argument("--int8_conv", type=str, default="conv",
+                    choices=["conv", "dots"],
+                    help="int8 conv lowering (ops/quant.py A/B)")
     ap.add_argument("--ccl", type=str, default="sweep",
                     choices=["sweep", "scan"])
     args = ap.parse_args()
+
+    if args.conv_method != "conv":
+        from lstm_unet_tpu.ops import conv as conv_mod
+
+        conv_mod.CONV_METHOD = args.conv_method
+    if args.int8_conv != "conv":
+        from lstm_unet_tpu.ops import quant
+
+        quant.INT8_CONV_METHOD = args.int8_conv
 
     import jax
     import jax.numpy as jnp
