@@ -347,6 +347,11 @@ class CTCInferenceParams(ParamsBase):
     split_rel: float = 0.65    # marker must reach rel * wider-window max
     split_rel_window: int = 48  # the wider window for the relative rule (px)
     split_min_size: int = 0    # only components >= this size are split (px)
+    # flip test-time augmentation: stream the 4 flip variants as extra
+    # batch lanes (each with its own LSTM state), average the unflipped
+    # softmax probs before postprocess. 4x model compute for a quality
+    # bump; off by default (no reference analog) — engine/infer.py.
+    tta: bool = False
     pre_sequence_frames: int = 4   # LSTM warm-up: initial frames fed reversed [M]
     save_intermediate: bool = False
     save_intermediate_path: str = ""

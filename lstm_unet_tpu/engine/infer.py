@@ -249,6 +249,16 @@ class StreamingInferenceEngine:
         ip = self.ip
         h = oh + (-oh) % self.depth_multiple
         w = ow + (-ow) % self.depth_multiple
+        # flip test-time augmentation: the 4 flip variants stream as extra
+        # batch lanes (ONE jitted step at batch*4, each variant carrying its
+        # own LSTM state), probs unflipped + averaged before postprocess.
+        # 4x model compute for a quality bump — off by default; no
+        # reference analog. Flips of the PADDED frame move the reflect
+        # padding to the opposite border, which is just another augmented
+        # view — unflipping the logits restores alignment, then the
+        # interior crop is taken as usual.
+        tta = bool(getattr(ip, "tta", False))
+        n_var = 4 if tta else 1
         # reset_on_jump: carry the previous normalized frame and zero a
         # lane's LSTM state when the scene changes abruptly (BASELINE.md
         # carry-drift stress: discontinuities saturate the carried state in
@@ -291,13 +301,32 @@ class StreamingInferenceEngine:
                 a = jnp.clip(frame, 0.0, 1.0)
                 b = jnp.clip(prev, 0.0, 1.0)
                 jumps = jnp.mean(jnp.abs(a - b), axis=(1, 2, 3))
-                state = ULSTMnet2D.reset_lanes(
-                    state, (jumps > jump_thresh).astype(jnp.float32))
-            new_state, logits = ULSTMnet2D.step(params, state, frame, self.cfg)
+                reset_mask = (jumps > jump_thresh).astype(jnp.float32)
+                if tta:  # state lanes are [B*4]; same cut for every variant
+                    reset_mask = jnp.tile(reset_mask, n_var)
+                state = ULSTMnet2D.reset_lanes(state, reset_mask)
+            if tta:
+                # variant-major stacking [v0 lanes..., v1 lanes, ...] so a
+                # plain tile covers the reset mask above
+                xin = jnp.concatenate(
+                    [frame, frame[:, ::-1], frame[:, :, ::-1],
+                     frame[:, ::-1, ::-1]], axis=0)
+            else:
+                xin = frame
+            new_state, logits = ULSTMnet2D.step(params, state, xin, self.cfg)
             if jump_thresh > 0:
                 new_state = (new_state, frame)
-            logits = logits[:, :oh, :ow]  # postprocess at original size
-            probs = jax.nn.softmax(logits, axis=-1)
+            if tta:
+                lv = logits.reshape((n_var, frame.shape[0]) + logits.shape[1:])
+                logits_al = jnp.stack(
+                    [lv[0], lv[1, :, ::-1], lv[2, :, :, ::-1],
+                     lv[3, :, ::-1, ::-1]], axis=0)
+                # postprocess at original size; average PROBS (not logits) —
+                # the standard TTA ensemble
+                probs = jax.nn.softmax(
+                    logits_al[:, :, :oh, :ow], axis=-1).mean(axis=0)
+            else:
+                probs = jax.nn.softmax(logits[:, :oh, :ow], axis=-1)
             labels = jax.vmap(
                 lambda p: postprocess_frame(
                     p,
@@ -334,6 +363,12 @@ class StreamingInferenceEngine:
             data_n = shape.get("data", 0)
             spatial_n = shape.get("spatial", 0)
             data_ok = data_n > 1 and batch % data_n == 0
+            if tta and data_ok:
+                # the model batch is batch*4 variant-major; the INPUT frame
+                # batch is still `batch`, and XLA would reshard across the
+                # in-jit concat — keep the batch dim replicated under TTA
+                log_print("mesh: tta active — replicating the batch dim")
+                data_ok = False
             spatial_ok = (spatial_n > 1
                           and h % (spatial_n * 2 ** self.cfg.nkp.depth) == 0)
             if data_n > 1 and not data_ok:
@@ -342,7 +377,7 @@ class StreamingInferenceEngine:
             if spatial_n > 1 and not spatial_ok:
                 log_print(f"mesh: H={h} not divisible by spatial={spatial_n}"
                           f"*2^{self.cfg.nkp.depth} — replicating the H dim")
-        state = ULSTMnet2D.init_state(self.cfg, batch, h, w)
+        state = ULSTMnet2D.init_state(self.cfg, batch * n_var, h, w)
         if jump_thresh > 0:
             state = (state, jnp.full((batch, h, w, 1), jnp.nan, jnp.float32))
         if self.mesh is not None:
