@@ -231,3 +231,25 @@ def test_batched_save_intermediate_and_data_only_mesh(trained, tmp_path):
     inter = glob.glob(os.path.join(out[0], "intermediate", "probs*.npy"))
     assert len(inter) == 8
     assert np.load(inter[0]).shape == (32, 32, 3)
+
+
+def test_batched_tta_matches_single_sequence(trained, tmp_path):
+    """Batched TTA ([B*4] variant-major lanes) == one-at-a-time TTA per
+    sequence — per-lane AND per-variant LSTM state independence."""
+    root, ckpt = trained
+    seqs = [os.path.join(root, "Synth-N2DH-SIM", "01"),
+            os.path.join(root, "Synth-N2DH-SIM", "02")]
+    ip = CTCInferenceParams(model_path=ckpt, min_cell_size=5,
+                            pre_sequence_frames=1, dtype="float32", tta=True)
+    outs_b = [str(tmp_path / "tb0"), str(tmp_path / "tb1")]
+    n = run_inference_batched(ip, seqs, outs_b)
+    assert n == 8 + 6
+    for i, seq in enumerate(seqs):
+        ip1 = CTCInferenceParams(
+            model_path=ckpt, sequence_path=seq,
+            output_path=str(tmp_path / f"ts{i}"), min_cell_size=5,
+            pre_sequence_frames=1, dtype="float32", tta=True)
+        run_inference(ip1)
+        for mb in sorted(glob.glob(os.path.join(outs_b[i], "mask*.tif"))):
+            ms = os.path.join(str(tmp_path / f"ts{i}"), os.path.basename(mb))
+            np.testing.assert_array_equal(read_tiff(mb), read_tiff(ms))
