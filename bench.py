@@ -197,7 +197,7 @@ def main():
                     choices=["sweep", "scan"],
                     help="CCL variant for the fused A/B (bit-identical)")
     ap.add_argument("--int8_conv", type=str, default="conv",
-                    choices=["conv", "dots"],
+                    choices=["conv", "dots", "auto"],
                     help="int8 conv lowering A/B: XLA conv (blocked layouts"
                          " + re-tiling copies) vs shifted-tap dot_general "
                          "(bit-identical, ops/quant.py::_conv_int8)")
@@ -205,7 +205,7 @@ def main():
                     help="concurrent independent streams on the chip "
                          "(serving config); value = AGGREGATE frames/sec")
     ap.add_argument("--conv_method", type=str, default="conv",
-                    choices=["conv", "dots"],
+                    choices=["conv", "dots", "auto"],
                     help="FLOAT conv lowering A/B (ops/conv.py): applies to "
                          "bf16 inference and the training step; 'dots' "
                          "replaces conv layout assignment (and the "

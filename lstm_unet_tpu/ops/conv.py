@@ -30,8 +30,17 @@ _DIMNUMS = ("NHWC", "HWIO", "NHWC")
 # is explicit, so results are close-not-bit-identical to 'conv' in float
 # (unlike the int8 twin, which is exact). Flagship channels are ≥128, so
 # every tap matmul fully feeds the MXU K dimension.
+# 'auto' dispatches on the backend at trace time: 'dots' off-CPU (the
+# copies are a TPU layout-assignment artifact; chip A/B decides the
+# default), 'conv' on CPU where one conv op beats kh·kw matmuls.
 CONV_METHOD = os.environ.get("LSTM_UNET_CONV", "conv")
 CONV_DOTS_MIN_HW = 128 * 128
+
+
+def _resolve_method(method: str) -> str:
+    if method == "auto":
+        return "conv" if jax.default_backend() == "cpu" else "dots"
+    return method
 
 
 def _conv_dots(x: jax.Array, kernel: jax.Array) -> jax.Array:
@@ -70,7 +79,8 @@ def conv2d(x: jax.Array, kernel: jax.Array, bias: Optional[jax.Array] = None,
     conv transpose then pairs an f32 cotangent with bf16 operands.)
     """
     kh, kw = kernel.shape[0], kernel.shape[1]
-    if (CONV_METHOD == "dots" and stride == (1, 1) and padding == "SAME"
+    if (_resolve_method(CONV_METHOD) == "dots"
+            and stride == (1, 1) and padding == "SAME"
             and kh % 2 == 1 and kw % 2 == 1
             and x.shape[1] * x.shape[2] >= CONV_DOTS_MIN_HW):
         y = _conv_dots(x, kernel.astype(x.dtype))

@@ -68,15 +68,20 @@ ACC_DTYPE = jnp.int32
 # large-spatial levels 0–1; small levels keep the fused conv).
 import os as _os
 
+# 'auto' dispatches on the backend at trace time ('dots' off-CPU) — same
+# contract as ops/conv.py::_resolve_method; bit-identical either way here.
 INT8_CONV_METHOD = _os.environ.get("LSTM_UNET_INT8_CONV", "conv")
 INT8_DOTS_MIN_HW = 128 * 128
 
 
 def _conv_int8(qx: jax.Array, kq: jax.Array) -> jax.Array:
     """int8 NHWC SAME conv -> int32, via the selected lowering method."""
+    from .conv import _resolve_method
+
     n, h, w, ci = qx.shape
     kh, kw, _, co = kq.shape
-    if (INT8_CONV_METHOD != "dots" or h * w < INT8_DOTS_MIN_HW
+    if (_resolve_method(INT8_CONV_METHOD) != "dots"
+            or h * w < INT8_DOTS_MIN_HW
             or kh % 2 == 0 or kw % 2 == 0):
         return jax.lax.conv_general_dilated(
             qx, kq, (1, 1), "SAME", dimension_numbers=_DIMNUMS,

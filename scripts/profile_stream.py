@@ -105,10 +105,10 @@ def main() -> None:
     ap.add_argument("--remat_policy", type=str, default="full",
                     choices=["full", "save_outputs", "none"])
     ap.add_argument("--conv_method", type=str, default="conv",
-                    choices=["conv", "dots"],
+                    choices=["conv", "dots", "auto"],
                     help="float conv lowering (ops/conv.py A/B)")
     ap.add_argument("--int8_conv", type=str, default="conv",
-                    choices=["conv", "dots"],
+                    choices=["conv", "dots", "auto"],
                     help="int8 conv lowering (ops/quant.py A/B)")
     ap.add_argument("--ccl", type=str, default="sweep",
                     choices=["sweep", "scan"])
