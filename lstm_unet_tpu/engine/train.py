@@ -219,6 +219,14 @@ class Trainer:
 
     def _restore(self, path: str) -> None:
         mgr = self.ckpt if not path else CheckpointManager(path)
+        if mgr.latest_step() is None:
+            # continue_run into a dir that never reached its first save
+            # (e.g. the stall watchdog fired during first-step compile and
+            # the supervisor relaunched) — warn loudly and train fresh
+            # rather than crashing the unattended retry loop
+            log_print(f"WARNING: continue_run: no checkpoint under "
+                      f"{mgr.directory} — starting fresh")
+            return
         abstract = jax.tree_util.tree_map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.model_params)
         abstract_opt = jax.tree_util.tree_map(
@@ -356,6 +364,11 @@ class Trainer:
                         self.tb.add_scalar(f"train/{k}", v, self.global_step)
 
                 if self.val_reader and (it + 1) % p.validation_interval == 0:
+                    if watchdog:
+                        # bound the validation segment separately: eval-step
+                        # first-compile + host-side SEG can legitimately
+                        # push one iteration past the timeout
+                        watchdog.feed()
                     (vimg_h, vseg_h, vvalid_h, vfull_h, vlast_h,
                      vinst) = self.val_reader.get_batch()
                     vimg, vseg, vvalid, vfull, vlast = self._put(
@@ -386,6 +399,8 @@ class Trainer:
                             "val/pred", vpred0[None] / 2.0, self.global_step)
 
                 if self.ckpt and (it + 1) % p.save_checkpoint_iteration == 0:
+                    if watchdog:
+                        watchdog.feed()  # bound the save segment separately
                     self._save_checkpoint()
         finally:
             if watchdog:

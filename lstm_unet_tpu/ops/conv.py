@@ -43,8 +43,14 @@ def _resolve_method(method: str) -> str:
     return method
 
 
-def _conv_dots(x: jax.Array, kernel: jax.Array) -> jax.Array:
-    """SAME/stride-1 NHWC conv via shifted-tap dot_general accumulation."""
+def dots_accumulate(x: jax.Array, kernel: jax.Array, acc_dtype) -> jax.Array:
+    """SAME/stride-1 NHWC conv as kh·kw shifted-tap dot_generals.
+
+    Shared core of the float ('dots') and int8 (`ops/quant.py::_conv_int8`)
+    lowerings; only the accumulator element type differs (f32 vs int32).
+    Contracts ci directly on the 4-D tap — XLA collapses the free dims
+    itself, no reshape op to place.
+    """
     n, h, w, ci = x.shape
     kh, kw, _, co = kernel.shape
     ph, pw = kh // 2, kw // 2
@@ -55,9 +61,14 @@ def _conv_dots(x: jax.Array, kernel: jax.Array) -> jax.Array:
             tap = jax.lax.slice(xp, (0, dy, dx, 0), (n, dy + h, dx + w, ci))
             t = jax.lax.dot_general(
                 tap, kernel[dy, dx], (((3,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=acc_dtype)
             acc = t if acc is None else acc + t
-    return acc.astype(x.dtype)
+    return acc
+
+
+def _conv_dots(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """f32 tap accumulation, one final round to the input dtype."""
+    return dots_accumulate(x, kernel, jnp.float32).astype(x.dtype)
 
 
 def init_conv(rng: jax.Array, kh: int, kw: int, cin: int, cout: int,

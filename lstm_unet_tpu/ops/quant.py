@@ -76,30 +76,19 @@ INT8_DOTS_MIN_HW = 128 * 128
 
 def _conv_int8(qx: jax.Array, kq: jax.Array) -> jax.Array:
     """int8 NHWC SAME conv -> int32, via the selected lowering method."""
-    from .conv import _resolve_method
+    from .conv import _resolve_method, dots_accumulate
 
-    n, h, w, ci = qx.shape
-    kh, kw, _, co = kq.shape
+    _, h, w, _ = qx.shape
+    kh, kw, _, _ = kq.shape
     if (_resolve_method(INT8_CONV_METHOD) != "dots"
             or h * w < INT8_DOTS_MIN_HW
             or kh % 2 == 0 or kw % 2 == 0):
         return jax.lax.conv_general_dilated(
             qx, kq, (1, 1), "SAME", dimension_numbers=_DIMNUMS,
             preferred_element_type=ACC_DTYPE)
-    ph, pw = kh // 2, kw // 2
-    xp = jnp.pad(qx, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
-    acc = None
-    for dy in range(kh):
-        for dx in range(kw):
-            tap = jax.lax.slice(
-                xp, (0, dy, dx, 0), (n, dy + h, dx + w, ci))
-            # contract ci directly on the 4-D tap: [n,h,w,ci]x[ci,co] —
-            # XLA collapses the free dims itself, no reshape op to place
-            t = jax.lax.dot_general(
-                tap, kq[dy, dx], (((3,), (0,)), ((), ())),
-                preferred_element_type=ACC_DTYPE)
-            acc = t if acc is None else acc + t
-    return acc
+    # exact integer arithmetic — the shared tap loop with an int32
+    # accumulator is bit-identical to the conv lowering above
+    return dots_accumulate(qx, kq, ACC_DTYPE)
 
 
 def conv2d_q(x: jax.Array, qconv: Dict[str, jax.Array],

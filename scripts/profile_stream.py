@@ -60,7 +60,11 @@ def device_op_self_times(data: dict):
     by_tid = defaultdict(list)
     steps_total = 0.0
     for e in data.get("traceEvents", []):
-        if e.get("ph") != "X" or "dur" not in e or e["pid"] not in dev_pids:
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        # no TPU-named process track (CPU-backend run, renamed runtime):
+        # fall back to sweeping every track rather than reporting zeros
+        if dev_pids and e["pid"] not in dev_pids:
             continue
         name = tname.get((e["pid"], e.get("tid")), "")
         if name == "Steps":
@@ -193,7 +197,7 @@ def main() -> None:
     by_bucket = defaultdict(float)
     for n, t in by_name.items():
         by_bucket[bucket(n)] += t
-    total = sum(by_bucket.values())
+    total = busy  # == sum of buckets by construction
     unit = "step" if args.mode == "train" else "frame"
     print(f"device busy {total / 1e3:.2f} ms over {args.frames} {unit}s "
           f"= {total / args.frames / 1e3:.2f} ms/{unit}"

@@ -20,7 +20,7 @@ fi
 
 ARGS=("$@")
 case " $* " in
-  *" --watchdog_secs "*) ;;
+  *" --watchdog_secs "* | *" --watchdog_secs="*) ;;
   *) ARGS+=(--watchdog_secs 900) ;;
 esac
 

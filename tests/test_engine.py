@@ -478,3 +478,13 @@ def test_reset_on_jump_recovers_fresh_stream(synth_root, tmp_path):
     fresh = stream(0.0, [frame_b])
     with_reset = stream(0.4, list(scene_a.astype(np.float32)) + [frame_b])
     np.testing.assert_array_equal(with_reset, fresh)
+
+
+def test_restore_empty_ckpt_dir_starts_fresh(synth_root, tmp_path):
+    """continue_run into a dir that never reached its first save (stall
+    watchdog fired during first compile, supervisor relaunched) warns and
+    trains fresh instead of crashing the retry loop."""
+    p = _params(synth_root, tmp_path, dry_run=True)
+    t = Trainer(p, seed=0)
+    t._restore(str(tmp_path / "never_saved"))
+    assert t.global_step == 0
