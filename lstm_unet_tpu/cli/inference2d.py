@@ -31,6 +31,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--boundary_growth", type=str,
                     choices=["marker", "dilate", "none"])
     ap.add_argument("--grow_iters", type=int)
+    ap.add_argument("--conv_method", type=str,
+                    choices=["conv", "dots", "auto"],
+                    help="conv lowering (ops/conv.py + int8 twin)")
     ap.add_argument("--tta", action="store_true", default=None,
                     help="flip test-time augmentation: average softmax "
                          "probs over the 4 flip variants (4x compute)")

@@ -62,6 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--remat", action="store_true", default=None)
     ap.add_argument("--remat_policy", type=str,
                     choices=["full", "save_outputs"])
+    ap.add_argument("--conv_method", type=str,
+                    choices=["conv", "dots", "auto"],
+                    help="conv lowering (ops/conv.py): 'dots' = shifted-tap "
+                         "matmuls, no conv layout copies in fwd/BPTT")
     ap.add_argument("--gt_is_full_seg", type=lambda s: s.lower() == "true",
                     default=None, help="override the full-annotation heuristic")
     ap.add_argument("--seed", type=int, default=0)

@@ -305,6 +305,11 @@ class CTCParams(ParamsBase):
     # recompute only glue (less recompute FLOPs, ~0.75 GB more HBM at
     # flagship B5/T7/256^2) — models/ulstm_unet.py::apply
     remat_policy: str = "full"
+    # float conv lowering (ops/conv.py): 'dots' replaces conv layout
+    # assignment (and the conv-transpose grads in BPTT) with shifted-tap
+    # matmuls at large-spatial levels; 'auto' = dots off-CPU. Process-wide
+    # (module flag) — set once per run by the engine.
+    conv_method: str = "conv"
 
 
 # --------------------------------------------------------------------------
@@ -361,6 +366,9 @@ class CTCInferenceParams(ParamsBase):
     # whole-level fused ConvLSTM Pallas kernel where shapes allow
     # (ops/pallas/convlstm_cell.py); inference-only
     fused_cell: bool = False
+    # conv lowering selection, same contract as CTCParams.conv_method;
+    # int8 runs use the (bit-identical) int8 twin in ops/quant.py
+    conv_method: str = "conv"
     # auto-reset the LSTM state when the mean abs difference between
     # consecutive normalized frames exceeds this (0 = off, reference
     # behavior: state is never reset). Motivated by the carry-drift stress

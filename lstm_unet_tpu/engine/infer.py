@@ -204,6 +204,10 @@ class StreamingInferenceEngine:
         self.params = params
         self.cfg = cfg
         self.ip = ip
+        if getattr(ip, "conv_method", "conv") != "conv":
+            from ..ops.conv import set_conv_method
+
+            set_conv_method(ip.conv_method)
         self.depth_multiple = 2 ** cfg.nkp.depth
         self._step = None
         self._state = None

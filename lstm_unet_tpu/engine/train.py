@@ -112,6 +112,10 @@ class Trainer:
             raise ValueError(
                 "data_format='NHWC' only: NHWC is the TPU-native layout "
                 "(the reference's NCHW knob existed for cuDNN)")
+        if getattr(params, "conv_method", "conv") != "conv":
+            from ..ops.conv import set_conv_method
+
+            set_conv_method(params.conv_method)
         if params.experiment_save_dir is None:
             # continue_run without an explicit load path: reuse the latest
             # experiment dir (a fresh timestamped dir would hold no ckpt and

@@ -43,6 +43,21 @@ def _resolve_method(method: str) -> str:
     return method
 
 
+def set_conv_method(method: str) -> None:
+    """Process-wide conv lowering selection (config knob -> module flags).
+
+    Sets BOTH the float flag here and the int8 twin's flag (bit-identical
+    lowering pair) so one `conv_method` config field governs the run.
+    """
+    if method not in ("conv", "dots", "auto"):
+        raise ValueError(f"unknown conv_method {method!r}")
+    global CONV_METHOD
+    CONV_METHOD = method
+    from . import quant
+
+    quant.INT8_CONV_METHOD = method
+
+
 def dots_accumulate(x: jax.Array, kernel: jax.Array, acc_dtype) -> jax.Array:
     """SAME/stride-1 NHWC conv as kh·kw shifted-tap dot_generals.
 
