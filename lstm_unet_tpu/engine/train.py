@@ -301,7 +301,22 @@ class Trainer:
 
     def train(self, num_iterations: Optional[int] = None) -> Dict[str, float]:
         p = self.p
-        n_iter = num_iterations if num_iterations is not None else p.num_iterations
+        if num_iterations is not None:
+            # explicit argument: run exactly this many MORE steps
+            # (programmatic callers/tests drive incremental training)
+            n_iter = num_iterations
+        elif p.continue_run and self.global_step > 0:
+            # config knob on a resumed run: num_iterations is the TOTAL
+            # step budget of the experiment (reference semantics [M]) —
+            # a relaunch with the same config trains up to the target and
+            # stops, rather than adding another full budget each restart
+            # (caught live: a supervisor relaunch from step 9000 with
+            # num_iterations=10000 ran merrily past 10000)
+            n_iter = max(0, p.num_iterations - self.global_step)
+            log_print(f"continue_run: {n_iter} steps remain to the "
+                      f"num_iterations={p.num_iterations} target")
+        else:
+            n_iter = p.num_iterations
         if hasattr(self.reader, "set_start_step"):
             # deterministic providers resume the input stream exactly where
             # the restored checkpoint left off (continue_run)
@@ -407,8 +422,6 @@ class Trainer:
                         watchdog.feed()  # bound the save segment separately
                     self._save_checkpoint()
         finally:
-            if watchdog:
-                watchdog.stop()
             if profiling:  # stop leaked traces (short runs / exceptions)
                 try:
                     jax.profiler.stop_trace()
@@ -417,8 +430,15 @@ class Trainer:
             self.reader.stop()
             if self.val_reader:
                 self.val_reader.stop()
+            if watchdog:
+                watchdog.feed()  # bound the final barrier save separately
             if self.ckpt:
                 self._save_checkpoint(final=True)
+            if watchdog:
+                # disarm only after the save: a wedge during the final
+                # device->host drain is as real as one mid-step (the
+                # supervisor relaunch then resumes at the last good save)
+                watchdog.stop()
             if self.tb:
                 self.tb.close()
         if not last and metrics:

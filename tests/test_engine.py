@@ -488,3 +488,25 @@ def test_restore_empty_ckpt_dir_starts_fresh(synth_root, tmp_path):
     t = Trainer(p, seed=0)
     t._restore(str(tmp_path / "never_saved"))
     assert t.global_step == 0
+
+
+def test_continue_run_num_iterations_is_total_budget(synth_root, tmp_path):
+    """Via the config knob, a resumed run trains up to num_iterations TOTAL
+    and stops — a supervisor relaunch must not add a full budget per
+    restart. Explicit train(num_iterations=K) keeps 'K more steps'."""
+    p = _params(synth_root, tmp_path, num_iterations=6,
+                save_checkpoint_iteration=3)
+    t1 = Trainer(p, seed=0)
+    t1.train(num_iterations=3)   # explicit: 3 more steps, saved at step 3
+    assert t1.global_step == 3
+
+    p2 = _params(synth_root, tmp_path, num_iterations=6, continue_run=True)
+    t2 = Trainer(p2, seed=1)
+    assert t2.global_step == 3
+    t2.train()                   # config knob: runs only to the total of 6
+    assert t2.global_step == 6
+
+    p3 = _params(synth_root, tmp_path, num_iterations=6, continue_run=True)
+    t3 = Trainer(p3, seed=2)
+    t3.train()                   # already at target: trains 0 steps
+    assert t3.global_step == 6
