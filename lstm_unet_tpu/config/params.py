@@ -307,7 +307,8 @@ class CTCParams(ParamsBase):
     remat_policy: str = "full"
     # float conv lowering (ops/conv.py): 'dots' replaces conv layout
     # assignment (and the conv-transpose grads in BPTT) with shifted-tap
-    # matmuls at large-spatial levels; 'auto' = dots off-CPU. Process-wide
+    # matmuls at large-spatial levels; 'auto' = 'conv' (chip A/B: dots
+    # lost 4× on int8 inference, BASELINE.md r3 s4). Process-wide
     # (module flag) — set once per run by the engine.
     conv_method: str = "conv"
 

@@ -30,16 +30,20 @@ _DIMNUMS = ("NHWC", "HWIO", "NHWC")
 # is explicit, so results are close-not-bit-identical to 'conv' in float
 # (unlike the int8 twin, which is exact). Flagship channels are ≥128, so
 # every tap matmul fully feeds the MXU K dimension.
-# 'auto' dispatches on the backend at trace time: 'dots' off-CPU (the
-# copies are a TPU layout-assignment artifact; chip A/B decides the
-# default), 'conv' on CPU where one conv op beats kh·kw matmuls.
+# 'auto' resolves to 'conv' on every backend: the chip A/B measured the
+# int8 dots twin at 8.54 vs conv 33.345 fps/chip @512² (BASELINE.md r3
+# session 4) — the kh·kw shifted operand copies cost far more than the
+# conv kernel's layout-assignment copies they were meant to absorb.
+# 'dots' stays selectable explicitly for the still-pending training BPTT
+# A/B (a different regime: the backward of 'dots' is plain matmuls, no
+# conv-transpose layout copies over the 7-step scan).
 CONV_METHOD = os.environ.get("LSTM_UNET_CONV", "conv")
 CONV_DOTS_MIN_HW = 128 * 128
 
 
 def _resolve_method(method: str) -> str:
     if method == "auto":
-        return "conv" if jax.default_backend() == "cpu" else "dots"
+        return "conv"
     return method
 
 

@@ -68,19 +68,24 @@ ACC_DTYPE = jnp.int32
 # large-spatial levels 0–1; small levels keep the fused conv).
 import os as _os
 
-# 'auto' dispatches on the backend at trace time ('dots' off-CPU) — same
-# contract as ops/conv.py::_resolve_method; bit-identical either way here.
+# 'auto' resolves to 'conv' for int8: the chip A/B measured dots at 8.54
+# vs conv 33.345 fps/chip @512² (BASELINE.md r3 session 4) — the shifted-
+# tap build's 9 operand copies per conv cost far more than the conv
+# kernel's layout-assignment copies they were meant to kill. 'dots' stays
+# available explicitly (bit-identical, just slow on TPU).
 INT8_CONV_METHOD = _os.environ.get("LSTM_UNET_INT8_CONV", "conv")
 INT8_DOTS_MIN_HW = 128 * 128
 
 
 def _conv_int8(qx: jax.Array, kq: jax.Array) -> jax.Array:
     """int8 NHWC SAME conv -> int32, via the selected lowering method."""
-    from .conv import _resolve_method, dots_accumulate
+    from .conv import dots_accumulate
 
     _, h, w, _ = qx.shape
     kh, kw, _, _ = kq.shape
-    if (_resolve_method(INT8_CONV_METHOD) != "dots"
+    # 'auto' → 'conv' here (measured: dots loses ~4× on the int8 path,
+    # see INT8_CONV_METHOD note) — only an explicit 'dots' selects dots.
+    if (INT8_CONV_METHOD != "dots"
             or h * w < INT8_DOTS_MIN_HW
             or kh % 2 == 0 or kw % 2 == 0):
         return jax.lax.conv_general_dilated(
