@@ -35,7 +35,7 @@ CPU_BASELINE_FPS = 0.0297
 
 def build_pipeline(size: int, dtype: str, tiny: bool, fused_cell: bool = False,
                    calibrated: bool = False, ccl_method: str = "sweep",
-                   batch: int = 1):
+                   batch: int = 1, entry_layouts: bool = False):
     from lstm_unet_tpu.config import default_net_kernel_params, tiny_net_kernel_params
     from lstm_unet_tpu.models import ModelConfig, ULSTMnet2D
     from lstm_unet_tpu.ops.postprocess import postprocess_frame
@@ -91,12 +91,29 @@ def build_pipeline(size: int, dtype: str, tiny: bool, fused_cell: bool = False,
                                          width=size, num_cells=40, seed=7)
             act_scales = calibrate_act_scales(
                 params, cfg, [f.astype(np.float32) for f in imgs])
-        params = jax.device_put(quantize_params_int8(params, act_scales))
+        params = quantize_params_int8(params, act_scales)
     else:
         from lstm_unet_tpu.models.ulstm_unet import cast_params_for_inference
 
-        params = jax.device_put(
-            cast_params_for_inference(params, cfg.compute_dtype))
+        params = cast_params_for_inference(params, cfg.compute_dtype)
+    if entry_layouts:
+        # AOT-compile with AUTO entry layouts for the weights and device_put
+        # them into the executable's preferred formats ONCE — kills the
+        # per-frame in-program re-layout of every conv kernel into its
+        # blocked conv layout (part of the 8 ms/frame copy bill,
+        # BASELINE.md r3). Same mechanism as engine.infer entry_layouts.
+        from jax.experimental.layout import Format, Layout
+
+        jauto = jax.jit(step, donate_argnums=(1,),
+                        in_shardings=(Format(Layout.AUTO), None, None))
+        sds = lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)  # noqa: E731
+        frame_sds = jax.ShapeDtypeStruct((batch, size, size, 1), jnp.uint16)
+        comp = jauto.lower(jax.tree_util.tree_map(sds, params),
+                           jax.tree_util.tree_map(sds, state),
+                           frame_sds).compile()
+        params = jax.device_put(params, comp.input_formats[0][0])
+        return (lambda state, frame: comp(params, state, frame)), state
+    params = jax.device_put(params)
     return (lambda state, frame: jitted(params, state, frame)), state
 
 
@@ -120,7 +137,8 @@ def make_frames(n: int, size: int, batch: int = 1) -> np.ndarray:
 
 
 def bench_train(size: int, dtype: str, tiny: bool, steps: int = 10,
-                emit: bool = True, remat="full", B: int = 5, T: int = 7):
+                emit: bool = True, remat="full", B: int = 5, T: int = 7,
+                entry_layouts: bool = False):
     """Training-step throughput (B5/T7 reference config, remat BPTT).
 
     With ``emit`` prints its own JSON line (--mode train); the default
@@ -142,7 +160,8 @@ def bench_train(size: int, dtype: str, tiny: bool, steps: int = 10,
     # B5/T7 is the reference-style config [M]; --train_batch/--train_unroll
     # override for throughput-scaling sweeps (frames/s amortizes per-step
     # overheads over B·T frames; quality semantics of T stay the trainer's)
-    step = make_train_step(cfg, opt, (0.15, 0.25, 0.6), remat=remat_arg)
+    step = make_train_step(cfg, opt, (0.15, 0.25, 0.6), remat=remat_arg,
+                           entry_layouts=entry_layouts)
     state = ULSTMnet2D.init_state(cfg, B, size, size)
     img = jnp.zeros((B, T, size, size, 1), jnp.float32) + 0.5
     seg = jnp.zeros((B, T, size, size), jnp.int32)
@@ -204,6 +223,10 @@ def main():
     ap.add_argument("--batch", type=int, default=1,
                     help="concurrent independent streams on the chip "
                          "(serving config); value = AGGREGATE frames/sec")
+    ap.add_argument("--entry_layouts", action="store_true",
+                    help="AOT-compile with AUTO entry layouts for the "
+                         "weights (one-time relayout instead of per-frame "
+                         "in-program conv-kernel copies) — A/B knob")
     ap.add_argument("--conv_method", type=str, default="conv",
                     choices=["conv", "dots", "auto"],
                     help="FLOAT conv lowering A/B (ops/conv.py): applies to "
@@ -225,12 +248,13 @@ def main():
         bench_train(256 if args.size == 512 else args.size,
                     "bfloat16" if args.dtype == "int8" else args.dtype,
                     args.tiny, remat=args.remat_policy,
-                    B=args.train_batch, T=args.train_unroll)
+                    B=args.train_batch, T=args.train_unroll,
+                    entry_layouts=args.entry_layouts)
         return
 
     step, state = build_pipeline(args.size, args.dtype, args.tiny,
                                  args.fused_cell, args.calibrated, args.ccl,
-                                 args.batch)
+                                 args.batch, args.entry_layouts)
     frames = make_frames(min(args.frames, 16), args.size, args.batch)
     dev_frames = [jax.device_put(jnp.asarray(f)) for f in frames]
 

@@ -311,6 +311,12 @@ class CTCParams(ParamsBase):
     # lost 4× on int8 inference, BASELINE.md r3 s4). Process-wide
     # (module flag) — set once per run by the engine.
     conv_method: str = "conv"
+    # AOT-compile the train step with AUTO entry/exit layouts for the
+    # cycled operands (params/opt_state/lstm_state) — one-time relayout
+    # instead of per-step in-program conv-kernel layout copies (18% of the
+    # measured step, BASELINE.md r3). Single-device only; falls back
+    # loudly if XLA's exit formats differ from its entry formats. A/B knob.
+    entry_layouts: bool = False
 
 
 # --------------------------------------------------------------------------
@@ -378,6 +384,14 @@ class CTCInferenceParams(ParamsBase):
     # behavior at the cost of pre_sequence-style cold-start on the cut.
     reset_on_jump: float = 0.0
     digit_4: bool = False          # True → mask%04d.tif (long sequences, e.g. PSC)
+    # AOT-compile the streaming step with AUTO entry layouts for the model
+    # params and device_put the weights into the executable's preferred
+    # layouts ONCE (jax.experimental.layout). Default entry layouts force
+    # XLA to re-lay-out every conv kernel into its blocked layout inside
+    # the program each frame — part of the measured 8 ms/frame of conv
+    # layout-assignment copies (BASELINE.md r3). Single-device path only;
+    # A/B knob until measured on chip.
+    entry_layouts: bool = False
     # multi-chip streaming (no reference analog): 'data' shards batched
     # sequences, 'spatial' shards frame height (XLA inserts conv halos)
     mesh_shape: Dict[str, int] = field(default_factory=dict)

@@ -24,6 +24,7 @@ import json
 import os
 import queue
 import threading
+import time
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -391,12 +392,62 @@ class StreamingInferenceEngine:
             state = self._shard(state, spec)
             self._frame_spec = spec
         else:
-            params_dev = jax.device_put(self._cast_params(self.params))
+            params_host = self._cast_params(self.params)
+            params_dev = jax.device_put(params_host)
             self._frame_spec = None
+            if getattr(ip, "entry_layouts", False):
+                self._params_dev = params_dev
+                self._step = self._make_auto_layout_step(step, params_host)
+                self._state = state
+                self._shape = (batch, oh, ow)
+                return
         self._params_dev = params_dev
         self._step = lambda s, frame: step(self._params_dev, s, frame)
         self._state = state
         self._shape = (batch, oh, ow)
+
+    def _make_auto_layout_step(self, step, params_host):
+        """AOT-compile ``step`` with AUTO entry layouts for the params.
+
+        jit entry parameters are pinned to JAX's default (descending-major)
+        layouts, so XLA layout assignment inserts copies INSIDE the program
+        to re-lay-out every conv kernel into its blocked conv layout — paid
+        every frame. ``Layout.AUTO`` lets layout assignment choose the entry
+        layouts instead; the weights are ``device_put`` into the compiled
+        executable's preferred formats ONCE and the per-frame copies fall
+        out of the program. State and frame keep default layouts: the
+        donated state output must feed the next call's input, and AUTO
+        gives no in==out guarantee. Compiled lazily per frame signature
+        (the upload dtype — raw uint16 vs float32 — is only known at the
+        first frame). Single-device only; measured A/B knob.
+        """
+        from jax.experimental.layout import Format, Layout
+
+        cache: dict = {}
+
+        def sds(x):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype)
+
+        def run(state, frame):
+            key = (frame.shape, str(frame.dtype))
+            ent = cache.get(key)
+            if ent is None:
+                jitted = jax.jit(step, donate_argnums=(1,),
+                                 in_shardings=(Format(Layout.AUTO),
+                                               None, None))
+                t0 = time.time()
+                comp = jitted.lower(
+                    jax.tree_util.tree_map(sds, params_host),
+                    jax.tree_util.tree_map(sds, state),
+                    sds(frame)).compile()
+                pdev = jax.device_put(params_host, comp.input_formats[0][0])
+                log_print(f"entry_layouts: AOT-compiled {key} in "
+                          f"{time.time() - t0:.1f}s; weights re-laid-out")
+                ent = cache[key] = (comp, pdev)
+            comp, pdev = ent
+            return comp(pdev, state, frame)
+
+        return run
 
     def reset(self):
         self._state = None

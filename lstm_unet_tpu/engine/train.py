@@ -50,12 +50,22 @@ DATA_PROVIDERS = {
 
 
 def make_train_step(cfg: ModelConfig, optimizer: optax.GradientTransformation,
-                    class_weights, remat: bool | str = False):
+                    class_weights, remat: bool | str = False,
+                    entry_layouts: bool = False):
     """Build the jitted train step.
 
     (params, opt_state, lstm_state, img, seg, valid, full_seg, is_last)
       -> (params, opt_state, lstm_state, metrics)
     State is donated: streaming BPTT never copies the carry through HBM.
+
+    ``entry_layouts``: AOT-compile with AUTO entry/exit layouts for the
+    cycled operands (params, opt_state, lstm_state) so XLA layout
+    assignment chooses them instead of pinning JAX's defaults — the
+    measured 256 ms/step (18%) of in-program layout copies around the
+    blocked convs (BASELINE.md r3) includes re-laying-out every conv
+    kernel per step. Safe only when the chosen exit formats equal the
+    entry formats (the operands cycle through the step); on mismatch the
+    plain jit path is used with a loud log line. A/B knob, default off.
     """
 
     def step(params, opt_state, lstm_state, img, seg, valid, full_seg, is_last):
@@ -77,7 +87,78 @@ def make_train_step(cfg: ModelConfig, optimizer: optax.GradientTransformation,
         return params, opt_state, new_state, {
             "loss": loss, "accuracy": acc, "grad_norm": gnorm}
 
-    return jax.jit(step, donate_argnums=(0, 1, 2))
+    jitted = jax.jit(step, donate_argnums=(0, 1, 2))
+    if not entry_layouts:
+        return jitted
+    return _auto_layout_train_step(step, jitted)
+
+
+def _auto_layout_train_step(step, fallback):
+    """Lazily AOT-compile ``step`` with AUTO layouts on the cycled operands.
+
+    Compiled on the first call from the concrete avals; the three cycled
+    operands are ``device_put`` into the executable's chosen entry formats
+    once, and every later call passes the previous call's outputs straight
+    back in (exit formats verified == entry formats at compile time).
+    """
+    from jax.experimental.layout import Format, Layout
+
+    cache: dict = {}
+
+    def sds(x):
+        return jax.ShapeDtypeStruct(x.shape, x.dtype)
+
+    def run(params, opt_state, lstm_state, *batch):
+        key = tuple((b.shape, str(b.dtype)) for b in batch)
+        ent = cache.get(key)
+        if ent is None:
+            auto = Format(Layout.AUTO)
+            jitted = jax.jit(
+                step, donate_argnums=(0, 1, 2),
+                in_shardings=(auto, auto, auto) + (None,) * len(batch),
+                out_shardings=(auto, auto, auto, None))
+            comp = jitted.lower(
+                *jax.tree_util.tree_map(sds, (params, opt_state, lstm_state)),
+                *(sds(b) for b in batch)).compile()
+            infmt = comp.input_formats[0][:3]
+            outfmt = tuple(comp.output_formats[:3])
+            cycle_ok = (jax.tree_util.tree_map(str, infmt)
+                        == jax.tree_util.tree_map(str, outfmt))
+            if not cycle_ok:
+                log_print("entry_layouts: exit formats differ from entry "
+                          "formats for the cycled operands — falling back "
+                          "to default layouts (no per-step benefit)")
+                cache[key] = (None, None)
+            else:
+                cache[key] = (comp, infmt)
+            ent = cache[key]
+        comp, infmt = ent
+        if comp is None:
+            return fallback(params, opt_state, lstm_state, *batch)
+        params, opt_state, lstm_state = (
+            jax.device_put((params, opt_state, lstm_state), infmt)
+            if _needs_relayout(params, infmt[0]) else
+            (params, opt_state, lstm_state))
+        return comp(params, opt_state, lstm_state, *batch)
+
+    return run
+
+
+def _needs_relayout(tree, fmt_tree) -> bool:
+    """True when ``tree``'s on-device formats differ from ``fmt_tree``.
+
+    Only the FIRST call pays a relayout: later calls feed the previous
+    call's outputs back in, already in the executable's formats (a no-op
+    device_put would still donate-copy, so skip it entirely).
+    """
+    leaves = jax.tree_util.tree_leaves(tree)
+    fmts = jax.tree_util.tree_leaves(
+        fmt_tree, is_leaf=lambda x: hasattr(x, "layout"))
+    for leaf, fmt in zip(leaves, fmts):
+        got = getattr(leaf, "format", None)
+        if got is None or str(got) != str(fmt):
+            return True
+    return False
 
 
 def make_eval_step(cfg: ModelConfig, class_weights):
@@ -163,7 +244,9 @@ class Trainer:
         if params.remat and getattr(params, "remat_policy", "full") != "full":
             remat_arg = params.remat_policy
         self.step_fn = make_train_step(
-            self.cfg, self.optimizer, params.class_weights, remat=remat_arg)
+            self.cfg, self.optimizer, params.class_weights, remat=remat_arg,
+            entry_layouts=(getattr(params, "entry_layouts", False)
+                           and self.mesh is None))
         self.eval_fn = make_eval_step(self.cfg, params.class_weights)
         self.global_step = 0
         self.last_val_metrics: Dict[str, float] = {}

@@ -114,6 +114,8 @@ def main() -> None:
     ap.add_argument("--int8_conv", type=str, default="conv",
                     choices=["conv", "dots", "auto"],
                     help="int8 conv lowering (ops/quant.py A/B)")
+    ap.add_argument("--entry_layouts", action="store_true",
+                    help="AUTO entry layouts for the weights (bench.py A/B)")
     ap.add_argument("--ccl", type=str, default="sweep",
                     choices=["sweep", "scan"])
     args = ap.parse_args()
@@ -173,7 +175,8 @@ def main() -> None:
         step, state = bench.build_pipeline(args.size, args.dtype, tiny=False,
                                            fused_cell=args.fused_cell,
                                            calibrated=args.calibrated,
-                                           ccl_method=args.ccl)
+                                           ccl_method=args.ccl,
+                                           entry_layouts=args.entry_layouts)
         frames = bench.make_frames(4, args.size)
         dev = [jax.device_put(jnp.asarray(f)) for f in frames]
         state, labels = step(state, dev[0])
