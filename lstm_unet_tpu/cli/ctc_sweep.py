@@ -55,6 +55,9 @@ def main(argv=None) -> None:
     ap.add_argument("--conv_method", type=str, default="conv",
                     choices=["conv", "dots", "auto"],
                     help="conv lowering (ops/conv.py + int8 twin)")
+    ap.add_argument("--entry_layouts", action="store_true",
+                    help="AOT step with AUTO entry layouts for the weights "
+                         "(one-time relayout; single-device)")
     ap.add_argument("--tta", action="store_true",
                     help="flip test-time augmentation: average softmax "
                          "probs over the 4 flip variants (4x compute)")
@@ -113,6 +116,7 @@ def main(argv=None) -> None:
         edge_thresh=args.edge_thresh, boundary_growth=args.boundary_growth,
         grow_iters=args.grow_iters, instance_split=args.instance_split,
         tta=args.tta, conv_method=args.conv_method,
+        entry_layouts=args.entry_layouts,
         split_window=args.split_window, split_min_dist=args.split_min_dist,
         split_slack=args.split_slack, split_rel=args.split_rel,
         split_rel_window=args.split_rel_window,

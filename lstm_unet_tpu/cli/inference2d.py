@@ -34,6 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--conv_method", type=str,
                     choices=["conv", "dots", "auto"],
                     help="conv lowering (ops/conv.py + int8 twin)")
+    ap.add_argument("--entry_layouts", action="store_true", default=None,
+                    help="AOT step with AUTO entry layouts for the weights "
+                         "(one-time relayout instead of per-frame conv-"
+                         "kernel copies; single-device)")
     ap.add_argument("--tta", action="store_true", default=None,
                     help="flip test-time augmentation: average softmax "
                          "probs over the 4 flip variants (4x compute)")

@@ -66,6 +66,10 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["conv", "dots", "auto"],
                     help="conv lowering (ops/conv.py): 'dots' = shifted-tap "
                          "matmuls, no conv layout copies in fwd/BPTT")
+    ap.add_argument("--entry_layouts", action="store_true", default=None,
+                    help="AOT train step with AUTO entry/exit layouts for "
+                         "params/opt_state/state (one-time relayout instead "
+                         "of per-step conv-kernel copies; single-device)")
     ap.add_argument("--gt_is_full_seg", type=lambda s: s.lower() == "true",
                     default=None, help="override the full-annotation heuristic")
     ap.add_argument("--seed", type=int, default=0)
