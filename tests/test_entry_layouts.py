@@ -97,3 +97,44 @@ def test_entry_layouts_train_step_bit_identical(model):
         losses[mode] = ls
     # layout is where bytes sit, never what they are — bit-identical
     assert losses[False] == losses[True]
+
+
+def test_trainer_entry_layouts_trains_and_checkpoints(tmp_path):
+    """Trainer-level wiring: AUTO-formatted params survive the train loop
+    AND orbax checkpointing (save sees arrays in executable-chosen
+    formats), and the restored model runs inference."""
+    import glob as _glob
+    import os
+
+    from lstm_unet_tpu.config import CTCParams
+    from lstm_unet_tpu.engine.infer import run_inference
+    from lstm_unet_tpu.engine.train import Trainer
+    from lstm_unet_tpu.io.synthetic import write_ctc_dataset
+
+    root = str(tmp_path / "data")
+    write_ctc_dataset(root, num_frames=8, height=32, width=32)
+    p = CTCParams(
+        root_data_dir=root,
+        train_sequence_list=[("Synth-N2DH-SIM", "01")],
+        val_sequence_list=[("Synth-N2DH-SIM", "01")],
+        crop_size=(32, 32), batch_size=2, unroll_len=3,
+        net_kernel_params=tiny_net_kernel_params(),
+        root_save_dir=str(tmp_path / "save"),
+        print_to_console_interval=50, validation_interval=10000,
+        save_checkpoint_iteration=10000, write_to_tb_interval=10000,
+        num_prefetch_threads=1,
+        entry_layouts=True,
+    )
+    trainer = Trainer(p, seed=0)
+    first = trainer.train(num_iterations=2)
+    late = trainer.train(num_iterations=40)
+    assert late["loss"] < first["loss"], (first, late)
+
+    out = str(tmp_path / "res")
+    n = run_inference(CTCInferenceParams(
+        model_path=p.experiment_save_dir,
+        sequence_path=os.path.join(root, "Synth-N2DH-SIM", "01"),
+        output_path=out, pre_sequence_frames=2, min_cell_size=5,
+        dtype="float32", entry_layouts=True))
+    assert n == 8
+    assert len(_glob.glob(os.path.join(out, "mask*.tif"))) == 8
