@@ -393,14 +393,17 @@ class StreamingInferenceEngine:
             self._frame_spec = spec
         else:
             params_host = self._cast_params(self.params)
-            params_dev = jax.device_put(params_host)
             self._frame_spec = None
             if getattr(ip, "entry_layouts", False):
-                self._params_dev = params_dev
+                # weights are device_put into the executable's preferred
+                # formats inside the AOT wrapper — skip the default-layout
+                # upload entirely
+                self._params_dev = None
                 self._step = self._make_auto_layout_step(step, params_host)
                 self._state = state
                 self._shape = (batch, oh, ow)
                 return
+            params_dev = jax.device_put(params_host)
         self._params_dev = params_dev
         self._step = lambda s, frame: step(self._params_dev, s, frame)
         self._state = state
