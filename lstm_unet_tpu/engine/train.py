@@ -198,11 +198,14 @@ class Trainer:
 
             set_conv_method(params.conv_method)
         if params.experiment_save_dir is None:
-            # continue_run without an explicit load path: reuse the latest
-            # experiment dir (a fresh timestamped dir would hold no ckpt and
-            # _restore would fail — ADVICE r1)
-            resumed = (params.continue_run and not params.load_checkpoint_path
-                       and params.resolve_continue_dirs())
+            # continue_run: reuse the latest experiment dir (a fresh
+            # timestamped dir would hold no ckpt and _restore would fail —
+            # ADVICE r1). This also applies when a seed
+            # load_checkpoint_path is set: a retry-supervisor relaunch of a
+            # seeded fine-tune must resume the run's OWN progress, not
+            # restart from the seed (the seed only wins while the run has
+            # no checkpoint of its own — see _restore).
+            resumed = (params.continue_run and params.resolve_continue_dirs())
             if resumed:
                 log_print(f"continue_run: resuming {params.experiment_save_dir}")
             else:
@@ -293,7 +296,15 @@ class Trainer:
                 log_print(f"tensorboard writer unavailable: {e}")
 
         if params.load_checkpoint or params.continue_run:
-            self._restore(params.load_checkpoint_path)
+            seed = params.load_checkpoint_path
+            if (seed and params.continue_run and not params.dry_run
+                    and self.ckpt.latest_step() is not None):
+                # seeded fine-tune resumed mid-run: the run's own latest
+                # checkpoint outranks the (older) seed
+                log_print(f"continue_run: in-run checkpoint outranks seed "
+                          f"{seed}")
+                seed = ""
+            self._restore(seed)
         if self.mesh is not None:
             # explicit replication (the dryrun placement): params/opt_state
             # live on every mesh device so XLA's sharding propagation sees

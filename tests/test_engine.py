@@ -339,6 +339,43 @@ def test_trainer_with_multithreaded_reader(synth_root, tmp_path):
     assert np.isfinite(m["loss"])
 
 
+def test_seeded_finetune_resume_prefers_own_progress(synth_root, tmp_path):
+    """A retry-supervisor relaunch of a SEEDED fine-tune (continue_run +
+    load_checkpoint_path both set) must resume the run's own latest
+    checkpoint, not restart from the older seed; the seed wins only while
+    the run has no checkpoint of its own (round-3 fix: train_retry.sh keeps
+    --load_checkpoint_path in ARGS on relaunch)."""
+    seed_p = _params(synth_root, tmp_path, save_checkpoint_iteration=5)
+    t_seed = Trainer(seed_p, seed=0)
+    t_seed.train(num_iterations=5)
+
+    # first fine-tune launch: fresh dir, restores the seed step
+    ft = _params(synth_root, tmp_path, experiment_name="ft",
+                 save_checkpoint_iteration=3, load_checkpoint=True,
+                 load_checkpoint_path=seed_p.experiment_save_dir)
+    t1 = Trainer(ft, seed=1)
+    assert t1.global_step == 5
+    t1.train(num_iterations=8)  # periodic + final saves of its own
+
+    # relaunch as the supervisor would: same args + continue_run
+    ft2 = _params(synth_root, tmp_path, experiment_name="ft",
+                  continue_run=True, load_checkpoint=True,
+                  load_checkpoint_path=seed_p.experiment_save_dir)
+    t2 = Trainer(ft2, seed=2)
+    assert t2.global_step == t1.global_step, \
+        "in-run checkpoint must outrank the seed"
+    assert ft2.experiment_save_dir == ft.experiment_save_dir
+
+    # relaunch BEFORE any fine-tune save: the seed still wins (the
+    # watchdog-during-first-compile case — warn-and-fresh would lose the
+    # seed weights entirely)
+    ft3 = _params(synth_root, tmp_path, experiment_name="ft_nosave",
+                  continue_run=True, load_checkpoint=True,
+                  load_checkpoint_path=seed_p.experiment_save_dir)
+    t3 = Trainer(ft3, seed=3)
+    assert t3.global_step == 5
+
+
 def test_continue_run_finds_latest_run_dir(synth_root, tmp_path):
     """continue_run without load_checkpoint_path must reuse the newest
     experiment dir instead of creating an empty timestamped one (ADVICE r1)."""
