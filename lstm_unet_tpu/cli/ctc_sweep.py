@@ -81,6 +81,10 @@ def main(argv=None) -> None:
     ap.add_argument("--reset_on_jump", type=float, default=0.0,
                     help="auto-reset LSTM state on abrupt scene change "
                          "(mean abs frame delta threshold; 0 = off)")
+    ap.add_argument("--save_intermediate", action="store_true",
+                    help="also dump per-frame softmax probability maps "
+                         "([H,W,3] .npy) into <seq>_RES/intermediate/ — "
+                         "offline postprocess calibration input")
     ap.add_argument("--score_seg", action="store_true",
                     help="after the sweep, score SEG against <seq>_GT/SEG "
                          "ground truth where present")
@@ -122,6 +126,7 @@ def main(argv=None) -> None:
         split_rel_window=args.split_rel_window,
         split_min_size=args.split_min_size,
         pre_sequence_frames=args.pre_sequence_frames,
+        save_intermediate=args.save_intermediate,
         dtype=args.dtype, state_dtype=args.state_dtype,
         fused_cell=args.fused_cell, reset_on_jump=args.reset_on_jump,
         ckpt_step=args.ckpt_step)

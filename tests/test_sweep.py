@@ -70,11 +70,19 @@ def test_ctc_sweep_cli(trained, tmp_path):
     out = str(tmp_path / "results")
     main(["--model_path", ckpt, "--root_data_dir", root,
           "--output_root", out, "--min_cell_size", "5",
-          "--pre_sequence_frames", "1", "--dtype", "float32"])
+          "--pre_sequence_frames", "1", "--dtype", "float32",
+          "--save_intermediate"])
     res01 = glob.glob(os.path.join(out, "Synth-N2DH-SIM", "01_RES", "mask*.tif"))
     res02 = glob.glob(os.path.join(out, "Synth-N2DH-SIM", "02_RES", "mask*.tif"))
     assert len(res01) == 8 and len(res02) == 6
     assert read_tiff(res01[0]).dtype == np.uint16
+    # --save_intermediate dumps per-frame [H,W,3] softmax maps per lane dir
+    probs01 = sorted(glob.glob(os.path.join(
+        out, "Synth-N2DH-SIM", "01_RES", "intermediate", "probs*.npy")))
+    assert len(probs01) == 8
+    p0 = np.load(probs01[0])
+    assert p0.shape == (32, 32, 3)
+    np.testing.assert_allclose(p0.sum(-1), 1.0, atol=1e-3)
 
 
 def test_sweep_batches_similar_lengths(trained, tmp_path, monkeypatch):
