@@ -27,6 +27,9 @@ def make_cell_sequence(
     radius_scale: float = 1.0,
     velocity_scale: float = 1.0,
     overlap_frac: float = 0.0,
+    overlap_gap: Tuple[float, float] = (0.55, 1.05),
+    overlap_match_intensity: bool = False,
+    overlap_rel_velocity: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Return (images [T,H,W] uint16, labels [T,H,W] uint16) of drifting cells.
 
@@ -40,6 +43,22 @@ def make_cell_sequence(
     faint inter-cell boundaries cap the postprocess oracle (BASELINE.md;
     VERDICT r2 task #8). 0 keeps the draw order bit-identical to r1/r2
     sequences of the same seed.
+
+    Protocol-v4 hardness knobs (VERDICT r3 task #8 — the step-8000 error
+    decomposition shows residual merges happen where the brightness cue
+    between touching cells vanishes; each knob removes one remaining cue,
+    and each is rng-gated so existing (seed, overlap_frac) sequences stay
+    bit-identical when left at its default):
+
+    - ``overlap_gap``: (lo, hi) of the center-distance draw in units of
+      summed radii; (0.45, 0.95) forces every contact to actually overlap.
+    - ``overlap_match_intensity``: occluders copy their anchor's intensity,
+      deleting the brightness step at the occlusion edge — the GT label
+      boundary is then supported only by shape + temporal history.
+    - ``overlap_rel_velocity``: std of extra drift relative to the anchor,
+      so contacts FORM and BREAK mid-sequence instead of persisting — the
+      recurrent state saw the pair as two cells before they touched, and
+      the training signal rewards keeping them apart.
     """
     rng = np.random.default_rng(seed)
     cy = rng.uniform(0.2 * height, 0.8 * height, num_cells)
@@ -57,13 +76,20 @@ def make_cell_sequence(
         for c in range(num_cells - n_ov, num_cells):
             j = int(rng.integers(0, c))
             ang = rng.uniform(0.0, 2.0 * np.pi)
-            gap = rng.uniform(0.55, 1.05)  # <1: overlap, ~1: touching
+            gap = rng.uniform(*overlap_gap)  # <1: overlap, ~1: touching
             cy[c] = np.clip(cy[j] + np.sin(ang) * gap * (ry[j] + ry[c]),
                             0.1 * height, 0.9 * height)
             cx[c] = np.clip(cx[j] + np.cos(ang) * gap * (rx[j] + rx[c]),
                             0.1 * width, 0.9 * width)
             # drift with the anchor: the contact survives the whole sequence
             vy[c], vx[c] = vy[j], vx[j]
+            if overlap_match_intensity:
+                inten[c] = inten[j]
+            if overlap_rel_velocity > 0:
+                # extra drift RELATIVE to the anchor — the pair converges /
+                # diverges so the contact forms and breaks mid-sequence
+                vy[c] += rng.normal(0, overlap_rel_velocity)
+                vx[c] += rng.normal(0, overlap_rel_velocity)
 
     yy, xx = np.mgrid[0:height, 0:width]
     imgs = np.zeros((num_frames, height, width), np.float32)

@@ -53,6 +53,20 @@ TRAIN = [  # (seq, seed, num_cells, radius_scale, frames, overlap_frac)
     ("08", 8, 45, 1.2, 100, 0.5),
     ("09", 9, 50, 1.1, 100, 0.4),
 ]
+# protocol v4 (round 3, after the step-8000 SEG error decomposition): the
+# residual failure is merges where the brightness cue between touching cells
+# vanishes. Each v4 sequence deletes one remaining cue (see
+# make_cell_sequence docstring): 10 = intensity-matched occluders with
+# deep forced overlap; 11 = intensity-matched AND dynamic (contacts form /
+# break mid-sequence); 12 = dynamic-only at high density. Eval sequences
+# stay UNCHANGED so scores remain directly comparable across protocols.
+TRAIN_V4 = [  # (seq, seed, num_cells, radius_scale, frames, overlap_frac, extra)
+    ("10", 10, 40, 1.0, 100, 0.6,
+     dict(overlap_match_intensity=True, overlap_gap=(0.45, 0.95))),
+    ("11", 11, 50, 1.2, 100, 0.6,
+     dict(overlap_match_intensity=True, overlap_rel_velocity=0.35)),
+    ("12", 12, 45, 1.1, 100, 0.5, dict(overlap_rel_velocity=0.5)),
+]
 HELDOUT = [
     ("01", 101, 20, 0.8, 40, 0.0),
     ("02", 102, 35, 1.0, 40, 0.0),
@@ -60,14 +74,16 @@ HELDOUT = [
 ]
 
 
-def gen(root: str) -> None:
-    for seq, seed, n, rs, frames, ov in TRAIN:
+def gen(root: str, v4: bool = False) -> None:
+    train = (TRAIN + [t[:6] for t in TRAIN_V4]) if v4 else TRAIN
+    extras = ({t[0]: t[6] for t in TRAIN_V4} if v4 else {})
+    for seq, seed, n, rs, frames, ov in train:
         write_ctc_dataset(os.path.join(root, "train"), dataset=DATASET,
                           seq=seq, num_frames=frames, height=SIZE, width=SIZE,
                           num_cells=n, seed=seed, radius_scale=rs,
-                          overlap_frac=ov)
+                          overlap_frac=ov, **extras.get(seq, {}))
         print(f"train/{DATASET}/{seq}: seed={seed} cells={n} rs={rs} "
-              f"T={frames} ov={ov}")
+              f"T={frames} ov={ov} {extras.get(seq, '')}")
     for seq, seed, n, rs, frames, ov in HELDOUT:
         write_ctc_dataset(os.path.join(root, "eval"), dataset=DATASET,
                           seq=seq, num_frames=frames, height=SIZE, width=SIZE,
@@ -82,9 +98,12 @@ def main() -> None:
     sub = ap.add_subparsers(dest="cmd", required=True)
     g = sub.add_parser("gen")
     g.add_argument("--root", type=str, required=True)
+    g.add_argument("--v4", action="store_true",
+                   help="also write the v4 occlusion-hardness sequences "
+                        "(10-12); 01-09 and eval are bit-identical either way")
     args = ap.parse_args()
     if args.cmd == "gen":
-        gen(args.root)
+        gen(args.root, v4=args.v4)
 
 
 if __name__ == "__main__":
