@@ -64,12 +64,16 @@ def main(argv=None) -> None:
     ap.add_argument("--instance_split", action="store_true",
                     help="split merged components of touching cells along "
                          "their distance-transform ridge")
+    ap.add_argument("--split_method", type=str, default="dist",
+                    choices=("dist", "prob"))
     ap.add_argument("--split_window", type=int, default=16)
     ap.add_argument("--split_min_dist", type=int, default=4)
     ap.add_argument("--split_slack", type=int, default=1)
     ap.add_argument("--split_rel", type=float, default=0.65)
     ap.add_argument("--split_rel_window", type=int, default=48)
     ap.add_argument("--split_min_size", type=int, default=0)
+    ap.add_argument("--split_hi_thresh", type=float, default=0.8)
+    ap.add_argument("--split_erode", type=int, default=1)
     ap.add_argument("--pre_sequence_frames", type=int, default=4)
     ap.add_argument("--dtype", type=str, default="bfloat16")
     ap.add_argument("--state_dtype", type=str, default="auto",
@@ -121,10 +125,12 @@ def main(argv=None) -> None:
         grow_iters=args.grow_iters, instance_split=args.instance_split,
         tta=args.tta, conv_method=args.conv_method,
         entry_layouts=args.entry_layouts,
+        split_method=args.split_method,
         split_window=args.split_window, split_min_dist=args.split_min_dist,
         split_slack=args.split_slack, split_rel=args.split_rel,
         split_rel_window=args.split_rel_window,
         split_min_size=args.split_min_size,
+        split_hi_thresh=args.split_hi_thresh, split_erode=args.split_erode,
         pre_sequence_frames=args.pre_sequence_frames,
         save_intermediate=args.save_intermediate,
         dtype=args.dtype, state_dtype=args.state_dtype,

@@ -42,8 +42,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="flip test-time augmentation: average softmax "
                          "probs over the 4 flip variants (4x compute)")
     ap.add_argument("--instance_split", action="store_true", default=None,
-                    help="split merged components of touching cells along "
-                         "their distance-transform ridge")
+                    help="split merged components of touching cells "
+                         "(see --split_method)")
+    ap.add_argument("--split_method", type=str, choices=("dist", "prob"),
+                    help="'dist' = distance-ridge markers, 'prob' = "
+                         "hysteresis markers from p(cell) dips")
+    ap.add_argument("--split_hi_thresh", type=float)
+    ap.add_argument("--split_erode", type=int)
     ap.add_argument("--split_window", type=int)
     ap.add_argument("--split_min_dist", type=int)
     ap.add_argument("--split_slack", type=int)

@@ -353,12 +353,19 @@ class CTCInferenceParams(ParamsBase):
     # its real intent). Off by default for reference parity; the quality
     # recipe for dense/occluded data enables it.
     instance_split: bool = False
-    split_window: int = 16     # regional-max window radius (px)
-    split_min_dist: int = 4    # min distance-to-background for a marker (px)
-    split_slack: int = 1       # h-maxima tolerance bridging DT terraces (px)
-    split_rel: float = 0.65    # marker must reach rel * wider-window max
-    split_rel_window: int = 48  # the wider window for the relative rule (px)
+    # 'dist' = distance-transform ridge markers (geometry; measured negative
+    # on model outputs across its grid — BASELINE.md session 6); 'prob' =
+    # hysteresis markers from the model's own p(cell) dips
+    # (ops/postprocess.py::split_touching_instances_prob)
+    split_method: str = "dist"
+    split_window: int = 16     # dist: regional-max window radius (px)
+    split_min_dist: int = 4    # dist: min distance-to-background for a marker (px)
+    split_slack: int = 1       # dist: h-maxima tolerance bridging DT terraces (px)
+    split_rel: float = 0.65    # dist: marker must reach rel * wider-window max
+    split_rel_window: int = 48  # dist: the wider window for the relative rule (px)
     split_min_size: int = 0    # only components >= this size are split (px)
+    split_hi_thresh: float = 0.8  # prob: marker threshold on p(cell)
+    split_erode: int = 1       # prob: marker erosion rounds (kills px bridges)
     # flip test-time augmentation: stream the 4 flip variants as extra
     # batch lanes (each with its own LSTM state), average the unflipped
     # softmax probs before postprocess. 4x model compute for a quality

@@ -343,12 +343,15 @@ class StreamingInferenceEngine:
                     boundary_growth=ip.boundary_growth,
                     grow_iters=ip.grow_iters,
                     instance_split=getattr(ip, "instance_split", False),
+                    split_method=getattr(ip, "split_method", "dist"),
                     split_window=getattr(ip, "split_window", 16),
                     split_min_dist=getattr(ip, "split_min_dist", 4),
                     split_slack=getattr(ip, "split_slack", 1),
                     split_rel=getattr(ip, "split_rel", 0.65),
                     split_rel_window=getattr(ip, "split_rel_window", 48),
                     split_min_size=getattr(ip, "split_min_size", 0),
+                    split_hi_thresh=getattr(ip, "split_hi_thresh", 0.8),
+                    split_erode=getattr(ip, "split_erode", 1),
                 )
             )(probs)
             if not ip.save_intermediate:

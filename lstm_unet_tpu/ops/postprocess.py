@@ -212,14 +212,64 @@ def split_touching_instances(lbl: jax.Array, interior: jax.Array,
     return jnp.where(grown > 0, grown, jnp.where(lbl > 0, lbl, 0))
 
 
+def split_touching_instances_prob(lbl: jax.Array, interior: jax.Array,
+                                  p_cell: jax.Array, hi_thresh: float = 0.8,
+                                  erode_iters: int = 1, min_size: int = 0,
+                                  use_pallas_ccl: bool = False) -> jax.Array:
+    """Partition merged components along the MODEL'S OWN internal evidence
+    (hysteresis two-threshold split) instead of mask geometry.
+
+    The offline geometry sweep measured the distance-ridge splitter negative
+    across its entire 36-config grid (BASELINE.md session 6): the merges the
+    model makes are one smooth blob in the distance transform, while DT
+    markers fire on dumbbell-shaped TRUE cells. But a merge happens where the
+    boundary class FADED — p(cell) typically still dips below its in-cell
+    plateau along the missed boundary even when it wins the argmax. So:
+    markers = ``interior & (p_cell >= hi_thresh)``, eroded ``erode_iters``
+    times (kills one-/two-px bridges across the dip and noise islands), one
+    CCL seed per marker component, then the same simultaneous-BFS
+    nearest-marker growth over the interior as the DT splitter.
+
+    Degradation properties (mirror the DT splitter's contracts):
+
+    - A component with uniformly high confidence (no internal dip below
+      ``hi_thresh``) yields ONE marker and is reproduced exactly — the
+      splitter only fires where the model itself hesitated.
+    - A component whose p(cell) never reaches ``hi_thresh`` (or erodes
+      away) has NO marker and keeps its ORIGINAL label bit-identically
+      (growth cannot cross background).
+    - ``min_size``: only components at least this many pixels are eligible,
+      same economics as the DT splitter (merged pairs are ~2x cell area).
+
+    ``lbl`` must be a CCL labeling of ``interior``; returns int32 labels of
+    the same support, ids NOT compact — follow with the relabel pass.
+    """
+    markers = interior & (p_cell >= hi_thresh)
+    for _ in range(erode_iters):
+        markers = _erode(markers, connectivity=8)
+    if min_size > 0:
+        h, w = lbl.shape
+        n = h * w + 1
+        counts = jnp.zeros((n,), jnp.int32).at[lbl.reshape(-1)].add(1)
+        comp_size = counts[lbl.reshape(-1)].reshape(h, w)
+        markers &= comp_size >= min_size
+    if use_pallas_ccl:
+        seeds = connected_components_pallas(markers)
+    else:
+        seeds = connected_components(markers, connectivity=8)
+    grown = grow_into_band(seeds, interior, max_rounds=0)
+    return jnp.where(grown > 0, grown, jnp.where(lbl > 0, lbl, 0))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cell_thresh", "edge_thresh", "min_cell_size",
                      "max_cell_size", "fov", "boundary_growth", "grow_iters",
                      "use_pallas_ccl", "ccl_method", "relabel_method",
-                     "instance_split",
+                     "instance_split", "split_method",
                      "split_window", "split_min_dist", "split_slack",
-                     "split_rel", "split_rel_window", "split_min_size"),
+                     "split_rel", "split_rel_window", "split_min_size",
+                     "split_hi_thresh", "split_erode"),
 )
 def postprocess_frame(
     probs: jax.Array,
@@ -234,22 +284,27 @@ def postprocess_frame(
     ccl_method: str = "sweep",
     relabel_method: str = "auto",
     instance_split: bool = False,
+    split_method: str = "dist",
     split_window: int = 16,
     split_min_dist: int = 4,
     split_slack: int = 1,
     split_rel: float = 0.65,
     split_rel_window: int = 48,
     split_min_size: int = 0,
+    split_hi_thresh: float = 0.8,
+    split_erode: int = 1,
 ) -> jax.Array:
     """3-class probabilities [H,W,3] → instance labels [H,W] int32.
 
     Steps (reference order, SURVEY.md §3.2 [M]):
       1. interior mask  = p(cell) > cell_thresh
       2. 8-connected components on interior
-      2b. optional ``instance_split``: partition components with multiple
-          distance-transform maxima (touching cells whose shared boundary
-          the model missed) via :func:`split_touching_instances` — default
-          off for reference parity
+      2b. optional ``instance_split``: partition merged components of
+          touching cells — ``split_method='dist'`` along distance-transform
+          ridges (:func:`split_touching_instances`), ``'prob'`` along the
+          model's own confidence dips
+          (:func:`split_touching_instances_prob`) — default off for
+          reference parity
       3. drop components outside [min_cell_size, max_cell_size]
       4. grow surviving labels into the boundary band (pixels with
          p(boundary) > edge_thresh): ``boundary_growth='marker'`` (default)
@@ -278,12 +333,20 @@ def postprocess_frame(
     else:
         raw = connected_components(interior, connectivity=8)
     if instance_split:
-        raw = split_touching_instances(raw, interior, window=split_window,
-                                       min_dist=split_min_dist,
-                                       slack=split_slack, rel=split_rel,
-                                       rel_window=split_rel_window,
-                                       min_size=split_min_size,
-                                       use_pallas_ccl=use_pallas_ccl)
+        if split_method == "prob":
+            raw = split_touching_instances_prob(
+                raw, interior, probs[..., 1], hi_thresh=split_hi_thresh,
+                erode_iters=split_erode, min_size=split_min_size,
+                use_pallas_ccl=use_pallas_ccl)
+        elif split_method == "dist":
+            raw = split_touching_instances(raw, interior, window=split_window,
+                                           min_dist=split_min_dist,
+                                           slack=split_slack, rel=split_rel,
+                                           rel_window=split_rel_window,
+                                           min_size=split_min_size,
+                                           use_pallas_ccl=use_pallas_ccl)
+        else:
+            raise ValueError(f"unknown split_method {split_method!r}")
     # relabel over the h*w+1 seed table: 'matmul' replaces the scatter-add
     # histogram + random gather (the two ops the TPU can't stream; measured
     # 3.3 + 3.4 ms @512²) with one-hot MXU matmuls — bit-identical output

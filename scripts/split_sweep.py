@@ -124,7 +124,7 @@ def grow(lbl, band):
 class Component:
     """One pred component with its param-independent precomputes."""
 
-    __slots__ = ("label", "size", "mask", "dist", "wmax", "slice")
+    __slots__ = ("label", "size", "mask", "dist", "wmax", "slice", "p_cell")
 
     def __init__(self, label, mask_crop, slc):
         self.label = label
@@ -133,6 +133,7 @@ class Component:
         self.slice = slc
         self.dist = None  # filled lazily (only for eligible components)
         self.wmax = None
+        self.p_cell = None  # prob mode: p(cell) crop
 
 
 def components_of(pred):
@@ -177,12 +178,37 @@ def split_component(comp, windows, cfg):
     return [(grown == i) for i in range(1, n + 1)]
 
 
-def apply_config(pred, comps, windows, cfg):
+def split_component_prob(comp, cfg):
+    """Hysteresis variant (ops/postprocess.py::split_touching_instances_prob
+    twin on the bbox crop): markers = p(cell) >= hi, eroded; same growth.
+
+    Proxy note: saved masks are POST-growth; the band pixels are boundary-
+    class (p(cell) < cell_thresh << hi) so the MARKERS are identical to the
+    in-pipeline pre-growth ones — only the growth target (post-growth
+    footprint vs interior) differs, same caveat as the dist mode.
+    """
+    hi, erode_iters, min_size = cfg
+    if min_size > 0 and comp.size < min_size:
+        return None
+    markers = comp.mask & (comp.p_cell >= hi)
+    for _ in range(erode_iters):
+        markers = _erode(markers, _S8)
+    seeds, n = ndi.label(markers, structure=_STRUCT8)
+    if n < 2:
+        return None
+    grown = grow(seeds, comp.mask)
+    return [(grown == i) for i in range(1, n + 1)]
+
+
+def apply_config(pred, comps, windows, cfg, method="dist"):
     out = pred.astype(np.int32).copy()
     nxt = int(pred.max()) + 1
     changed = 0
     for comp in comps:
-        parts = split_component(comp, windows, cfg)
+        if method == "prob":
+            parts = split_component_prob(comp, cfg)
+        else:
+            parts = split_component(comp, windows, cfg)
         if parts is None:
             continue
         changed += 1
@@ -200,19 +226,31 @@ def main() -> None:
     ap.add_argument("--dataset", default="Synth-N2DH-SIM")
     ap.add_argument("--seqs", default="")
     ap.add_argument("--min_dist", type=int, default=4)
+    ap.add_argument("--method", default="dist", choices=("dist", "prob"),
+                    help="'prob' needs probs*.npy dumps in "
+                         "<seq>_RES/intermediate/ (ctc_sweep "
+                         "--save_intermediate)")
     args = ap.parse_args()
 
-    # grid: window x slack x rel(window) x min_size, min_dist fixed.
-    # sizes here are POST-growth footprints (see module docstring).
-    CONFIGS = []
-    for window in (12, 16):
-        for slack in (1, 2):
-            for rel, rel_window in ((0.65, 48), (0.5, 48), (0.0, 0)):
-                for min_size in (0, 3500, 6000):
-                    CONFIGS.append((window, args.min_dist, slack, rel,
-                                    rel_window, min_size))
-    windows = sorted({c[0] for c in CONFIGS} |
-                     {max(c[0], c[4]) for c in CONFIGS if c[3] > 0})
+    if args.method == "prob":
+        # grid: hi_thresh x erode x min_size (post-growth footprint sizes)
+        CONFIGS = [(hi, er, msz)
+                   for hi in (0.6, 0.7, 0.8, 0.9)
+                   for er in (0, 1, 2)
+                   for msz in (0, 3500, 6000)]
+        windows = []
+    else:
+        # grid: window x slack x rel(window) x min_size, min_dist fixed.
+        # sizes here are POST-growth footprints (see module docstring).
+        CONFIGS = []
+        for window in (12, 16):
+            for slack in (1, 2):
+                for rel, rel_window in ((0.65, 48), (0.5, 48), (0.0, 0)):
+                    for min_size in (0, 3500, 6000):
+                        CONFIGS.append((window, args.min_dist, slack, rel,
+                                        rel_window, min_size))
+        windows = sorted({c[0] for c in CONFIGS} |
+                         {max(c[0], c[4]) for c in CONFIGS if c[3] > 0})
 
     ds_gt = os.path.join(args.gt_root, args.dataset)
     seqs = sorted(d[:-3] for d in os.listdir(ds_gt) if d.endswith("_GT"))
@@ -238,8 +276,15 @@ def main() -> None:
             base[seq][0] += s
             base[seq][1] += n
             comps = components_of(pred)
+            if args.method == "prob":
+                probp = os.path.join(pred_dir, "intermediate",
+                                     f"probs{t:03d}.npy")
+                p_cell = np.load(probp)[..., 1]
+                for comp in comps:
+                    comp.p_cell = p_cell[comp.slice]
             for cfg in CONFIGS:
-                new_pred, changed = apply_config(pred, comps, windows, cfg)
+                new_pred, changed = apply_config(pred, comps, windows, cfg,
+                                                 method=args.method)
                 s2, n2 = seg_measure(gt, new_pred)
                 totals[cfg][seq][0] += s2
                 totals[cfg][seq][1] += n2
@@ -258,12 +303,20 @@ def main() -> None:
         m = seq_mean(totals[cfg])
         rows.append((m, cfg))
     rows.sort(reverse=True)
-    print(f"{'mean':>7} {'delta':>8} {'w':>3} {'sl':>3} {'rel':>5} "
-          f"{'relw':>5} {'minsz':>6} {'nsplit':>6}")
-    for m, cfg in rows:
-        w, md, sl, rel, relw, msz = cfg
-        print(f"{m:7.4f} {m - base_mean:+8.4f} {w:3d} {sl:3d} {rel:5.2f} "
-              f"{relw:5d} {msz:6d} {splits[cfg]:6d}")
+    if args.method == "prob":
+        print(f"{'mean':>7} {'delta':>8} {'hi':>5} {'er':>3} {'minsz':>6} "
+              f"{'nsplit':>6}")
+        for m, cfg in rows:
+            hi, er, msz = cfg
+            print(f"{m:7.4f} {m - base_mean:+8.4f} {hi:5.2f} {er:3d} "
+                  f"{msz:6d} {splits[cfg]:6d}")
+    else:
+        print(f"{'mean':>7} {'delta':>8} {'w':>3} {'sl':>3} {'rel':>5} "
+              f"{'relw':>5} {'minsz':>6} {'nsplit':>6}")
+        for m, cfg in rows:
+            w, md, sl, rel, relw, msz = cfg
+            print(f"{m:7.4f} {m - base_mean:+8.4f} {w:3d} {sl:3d} {rel:5.2f} "
+                  f"{relw:5d} {msz:6d} {splits[cfg]:6d}")
 
 
 if __name__ == "__main__":

@@ -297,3 +297,118 @@ def test_postprocess_frame_instance_split_end_to_end():
     assert split[32, 20] != split[32, 42]
     # ids compact 1..N in raster order; support unchanged
     np.testing.assert_array_equal(split > 0, interior.astype(bool))
+
+
+# ------------------------------------------- probability-guided (hysteresis)
+
+def split_touching_instances_prob_np(lbl, interior, p_cell, hi=0.8, erode=1,
+                                     min_size=0):
+    """NumPy twin of ops/postprocess.py::split_touching_instances_prob."""
+    markers = interior & (p_cell >= hi)
+    for _ in range(erode):
+        markers = _erode_np(markers)
+    if min_size > 0:
+        counts = np.bincount(lbl.reshape(-1), minlength=lbl.size + 1)
+        markers &= counts[lbl] >= min_size
+    seeds = _ccl_np(markers)
+    grown = _grow_np(seeds, interior)
+    return np.where(grown > 0, grown, np.where(lbl > 0, lbl, 0)).astype(np.int32)
+
+
+def _two_bump_pcell(h=64, w=64, cy=32, cx1=22, cx2=42, sigma=9.0, peak=0.95):
+    """Two gaussian confidence bumps whose midpoint dips below a high
+    threshold but stays above cell_thresh — the signature of a merge where
+    the boundary class faded but the model still hesitated."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    g1 = peak * np.exp(-(((yy - cy) ** 2 + (xx - cx1) ** 2) / (2 * sigma**2)))
+    g2 = peak * np.exp(-(((yy - cy) ** 2 + (xx - cx2) ** 2) / (2 * sigma**2)))
+    return np.maximum(g1, g2).astype(np.float32)
+
+
+@pytest.mark.parametrize("hi,erode,min_size",
+                         [(0.8, 1, 0), (0.7, 0, 0), (0.85, 2, 0),
+                          (0.8, 1, 200)])
+def test_prob_split_matches_numpy_twin(hi, erode, min_size):
+    from lstm_unet_tpu.ops.postprocess import split_touching_instances_prob
+
+    rng = np.random.default_rng(5)
+    h = w = 96
+    p_cell = np.zeros((h, w), np.float32)
+    for _ in range(6):
+        cy, cx = rng.uniform(12, h - 12), rng.uniform(12, w - 12)
+        sig = rng.uniform(4, 9)
+        pk = rng.uniform(0.6, 1.0)
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+        g = pk * np.exp(-(((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * sig**2)))
+        p_cell = np.maximum(p_cell, g.astype(np.float32))
+    interior = p_cell > 0.5
+    lbl = _ccl_np(interior)
+    twin = split_touching_instances_prob_np(lbl, interior, p_cell, hi=hi,
+                                            erode=erode, min_size=min_size)
+    out = np.asarray(split_touching_instances_prob(
+        jnp.asarray(lbl), jnp.asarray(interior), jnp.asarray(p_cell),
+        hi_thresh=hi, erode_iters=erode, min_size=min_size))
+    np.testing.assert_array_equal(out, twin)
+
+
+def test_prob_split_fires_on_confidence_dip():
+    """Merged blob with an internal p(cell) dip (below hi, above
+    cell_thresh): 'prob' recovers 2 instances along the dip."""
+    p_cell = _two_bump_pcell()
+    interior = p_cell > 0.5
+    assert _ccl_np(interior).max() > 0
+    # one merged component, midpoint inside the interior but under hi
+    assert interior[32, 32] and p_cell[32, 32] < 0.8
+    probs = np.stack([1 - p_cell, p_cell, np.zeros_like(p_cell)], -1)
+    merged = np.asarray(postprocess_frame(jnp.asarray(probs), min_cell_size=5))
+    assert merged.max() == 1
+    split = np.asarray(postprocess_frame(
+        jnp.asarray(probs), min_cell_size=5, instance_split=True,
+        split_method="prob", split_hi_thresh=0.8, split_erode=1))
+    assert split.max() == 2
+    assert split[32, 22] != split[32, 42]
+    np.testing.assert_array_equal(split > 0, interior)
+
+
+def test_prob_split_confident_blob_untouched():
+    """Uniform high confidence (no internal dip): one marker component —
+    the blob is reproduced exactly, NOT split."""
+    h = w = 64
+    m = _ellipse_mask(h, w, 32, 32, 14, 20)
+    p_cell = np.where(m, 0.97, 0.0).astype(np.float32)
+    probs = np.stack([1 - p_cell, p_cell, np.zeros_like(p_cell)], -1)
+    base = np.asarray(postprocess_frame(jnp.asarray(probs), min_cell_size=5))
+    split = np.asarray(postprocess_frame(
+        jnp.asarray(probs), min_cell_size=5, instance_split=True,
+        split_method="prob"))
+    np.testing.assert_array_equal(base, split)
+
+
+def test_prob_split_no_marker_keeps_original_label():
+    """p(cell) never reaches hi: no marker — original labels bit-identical
+    (graceful per-component fallback)."""
+    p_cell = 0.65 * _ellipse_mask(64, 64, 32, 32, 10, 10).astype(np.float32)
+    probs = np.stack([1 - p_cell, p_cell, np.zeros_like(p_cell)], -1)
+    base = np.asarray(postprocess_frame(jnp.asarray(probs), min_cell_size=5))
+    split = np.asarray(postprocess_frame(
+        jnp.asarray(probs), min_cell_size=5, instance_split=True,
+        split_method="prob", split_hi_thresh=0.8))
+    assert base.max() == 1
+    np.testing.assert_array_equal(base, split)
+
+
+def test_prob_split_min_size_gates_eligibility():
+    """A small two-bump pair under split_min_size keeps ONE label while a
+    big eligible pair splits (same economics as the dist splitter)."""
+    p_cell = _two_bump_pcell()
+    interior = p_cell > 0.5
+    size = int(interior.sum())
+    probs = np.stack([1 - p_cell, p_cell, np.zeros_like(p_cell)], -1)
+    gated = np.asarray(postprocess_frame(
+        jnp.asarray(probs), min_cell_size=5, instance_split=True,
+        split_method="prob", split_min_size=size + 1))
+    assert gated.max() == 1
+    ungated = np.asarray(postprocess_frame(
+        jnp.asarray(probs), min_cell_size=5, instance_split=True,
+        split_method="prob", split_min_size=size))
+    assert ungated.max() == 2
