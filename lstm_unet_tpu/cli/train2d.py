@@ -58,6 +58,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="exit 17 if no train step completes for this many "
                          "seconds (wedged device client); 0 disables. Pair "
                          "with scripts/train_retry.sh for auto-relaunch.")
+    ap.add_argument("--spike_factor", type=float,
+                    help="roll back to the last checkpoint when train loss "
+                         "exceeds this factor x its EMA (finite-spike "
+                         "damage guard); 0 disables")
+    ap.add_argument("--spike_cooldown", type=int)
+    ap.add_argument("--spike_max_rollbacks", type=int)
     ap.add_argument("--dtype", type=str, choices=["float32", "bfloat16"])
     ap.add_argument("--remat", action="store_true", default=None)
     ap.add_argument("--remat_policy", type=str,

@@ -294,6 +294,22 @@ class CTCParams(ParamsBase):
     # in-process). 0 disables.
     watchdog_secs: float = 0.0
 
+    # loss-spike rollback guard (no reference analog — SURVEY.md §5
+    # failure-recovery row; motivated by the measured v3bw incident: a
+    # FINITE loss spike at step 8500 permanently damaged held-out transfer
+    # even though crop-val recovered — BASELINE.md). When train loss exceeds
+    # spike_factor x its EMA (after spike_warmup steps), the trainer
+    # restores params/opt_state from the run's last checkpoint, resets the
+    # LSTM carry, and keeps the READER POSITION — the deterministic stream
+    # moves on, so the rolled-back weights meet different data instead of
+    # deterministically replaying the same spike. 0 disables (default, for
+    # reference parity); unattended recipes arm it.
+    spike_factor: float = 0.0
+    spike_ema_decay: float = 0.98   # EMA of per-step loss
+    spike_warmup: int = 50          # steps before the guard arms
+    spike_cooldown: int = 100       # min steps between rollbacks
+    spike_max_rollbacks: int = 5    # then fail loudly (data/LR is wrong)
+
     # parallel (new in the rebuild; no reference analog — SURVEY.md §2 checklist)
     mesh_shape: Dict[str, int] = field(default_factory=lambda: {"data": 1})
     # jax.checkpoint the scan body during BPTT: without it the flagship at

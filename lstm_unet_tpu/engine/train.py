@@ -333,6 +333,30 @@ class Trainer:
             abstract, abstract_opt)
         log_print(f"restored checkpoint at step {self.global_step}")
 
+    def _rollback(self) -> None:
+        """Spike-guard restore: weights + optimizer state from the run's
+        last checkpoint, WITHOUT rewinding global_step or the reader — the
+        deterministic input stream moves on, so the restored weights meet
+        new data instead of deterministically replaying the same spike."""
+        if self.ckpt is None or self.ckpt.latest_step() is None:
+            log_print("spike guard: no checkpoint to roll back to — "
+                      "continuing (arm save_checkpoint_iteration)")
+            return
+        self.ckpt.wait()  # an in-flight async save must settle first
+        abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+            self.model_params)
+        abstract_opt = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.opt_state)
+        self.model_params, self.opt_state, ck_step = self.ckpt.restore(
+            abstract, abstract_opt)
+        if self.mesh is not None:
+            repl = replicated_sharding(self.mesh)
+            self.model_params = jax.device_put(self.model_params, repl)
+            self.opt_state = jax.device_put(self.opt_state, repl)
+        log_print(f"spike guard: restored weights/opt from step {ck_step}; "
+                  f"continuing at step {self.global_step}")
+
     def _save_checkpoint(self, final: bool = False) -> None:
         """Checkpoint without stalling the step loop.
 
@@ -425,6 +449,10 @@ class Trainer:
         metrics: Dict[str, Any] = {}
         t0 = time.time()
         frames_done = 0
+        # loss-spike rollback guard state (see CTCParams.spike_factor)
+        spike_ema: Optional[float] = None
+        spike_last_rollback = -(10 ** 9)
+        spike_rollbacks = 0
 
         profiling = False
         watchdog = None
@@ -460,6 +488,41 @@ class Trainer:
 
                 self.global_step += 1
                 frames_done += img.shape[0] * img.shape[1]
+
+                if p.spike_factor > 0:
+                    # per-step host fetch of the scalar loss: ~ms through
+                    # the tunnel vs the ~1.4 s step — negligible, and
+                    # donation already serializes the dispatch pipeline
+                    loss_now = float(metrics["loss"])
+                    armed = (it >= p.spike_warmup
+                             and self.global_step - spike_last_rollback
+                             >= p.spike_cooldown)
+                    spiked = spike_ema is not None and armed and (
+                        not np.isfinite(loss_now)
+                        or loss_now > p.spike_factor * max(spike_ema, 1e-8))
+                    if spiked:
+                        spike_rollbacks += 1
+                        if spike_rollbacks > p.spike_max_rollbacks:
+                            raise RuntimeError(
+                                f"spike guard: {spike_rollbacks} rollbacks — "
+                                f"recurring divergence, aborting (check LR / "
+                                f"data)")
+                        log_print(
+                            f"SPIKE at step {self.global_step}: "
+                            f"loss={loss_now:.4f} > {p.spike_factor:.1f} x "
+                            f"EMA {spike_ema:.4f} — rolling back to last "
+                            f"checkpoint ({spike_rollbacks}/"
+                            f"{p.spike_max_rollbacks})")
+                        self._rollback()
+                        lstm_state = self._fresh_state()
+                        spike_last_rollback = self.global_step
+                        if self.tb:
+                            self.tb.add_scalar("train/spike_rollback", 1.0,
+                                               self.global_step)
+                    elif np.isfinite(loss_now):
+                        d = p.spike_ema_decay
+                        spike_ema = (loss_now if spike_ema is None
+                                     else d * spike_ema + (1 - d) * loss_now)
 
                 if (it + 1) % p.print_to_console_interval == 0 or it == 0:
                     last = {k: float(v) for k, v in metrics.items()}

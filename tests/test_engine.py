@@ -547,3 +547,43 @@ def test_continue_run_num_iterations_is_total_budget(synth_root, tmp_path):
     t3 = Trainer(p3, seed=2)
     t3.train()                   # already at target: trains 0 steps
     assert t3.global_step == 6
+
+
+def test_spike_guard_rolls_back_and_aborts_on_recurrence(synth_root, tmp_path,
+                                                         capsys):
+    """spike_factor < 1 makes every armed step a 'spike': the guard must
+    restore the last checkpoint (weights meet NEW data — reader position is
+    kept), then abort loudly after spike_max_rollbacks recurrences."""
+    p = _params(synth_root, tmp_path, save_checkpoint_iteration=2,
+                validation_interval=10**6, spike_factor=0.5, spike_warmup=3,
+                spike_cooldown=2, spike_max_rollbacks=2)
+    t = Trainer(p, seed=0)
+    with pytest.raises(RuntimeError, match="spike guard"):
+        t.train(num_iterations=40)
+    out = capsys.readouterr().out
+    assert out.count("rolling back") >= 2
+    assert "restored weights/opt from step" in out
+    # the step counter kept moving (no rewind) past warmup + 2 cooldowns
+    assert t.global_step > 5
+
+
+def test_spike_guard_without_checkpoint_warns_and_continues(synth_root,
+                                                            tmp_path, capsys):
+    """No checkpoint yet: the guard logs and keeps training (an unattended
+    run must not crash on a spike it cannot roll back from)."""
+    p = _params(synth_root, tmp_path, save_checkpoint_iteration=10**6,
+                validation_interval=10**6, spike_factor=0.5, spike_warmup=2,
+                spike_cooldown=1, spike_max_rollbacks=10**6)
+    t = Trainer(p, seed=0)
+    m = t.train(num_iterations=8)
+    assert np.isfinite(m["loss"])
+    assert "no checkpoint to roll back to" in capsys.readouterr().out
+
+
+def test_spike_guard_off_by_default(synth_root, tmp_path, capsys):
+    """spike_factor=0 (reference parity): no guard activity at all."""
+    p = _params(synth_root, tmp_path, validation_interval=10**6)
+    t = Trainer(p, seed=0)
+    t.train(num_iterations=6)
+    out = capsys.readouterr().out
+    assert "SPIKE" not in out and "rolling back" not in out
