@@ -92,6 +92,9 @@ def main(argv=None) -> None:
     ap.add_argument("--score_seg", action="store_true",
                     help="after the sweep, score SEG against <seq>_GT/SEG "
                          "ground truth where present")
+    ap.add_argument("--seqs", type=str, default="",
+                    help="comma-separated sequence names to sweep (e.g. "
+                         "'03' or '01,03'); default = every sequence found")
     ap.add_argument("--ckpt_step", type=int, default=0,
                     help="restore this saved checkpoint step (0 = latest) — "
                          "model selection on val/seg")
@@ -141,8 +144,11 @@ def main(argv=None) -> None:
                              fused_cell=args.fused_cell,
                              step=args.ckpt_step or None)
 
+    keep_seqs = set(s.strip() for s in args.seqs.split(",") if s.strip())
     groups = defaultdict(list)  # frame shape -> [(n_frames, seq_dir, out_dir)]
     for ds, seq, seq_dir in find_sequences(args.root_data_dir):
+        if keep_seqs and seq not in keep_seqs:
+            continue
         frames = sorted(glob.glob(os.path.join(seq_dir, "t*.tif")))
         shape = read_tiff(frames[0]).shape
         out_dir = os.path.join(args.output_root, ds, f"{seq}_RES")
