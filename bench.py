@@ -138,7 +138,7 @@ def make_frames(n: int, size: int, batch: int = 1) -> np.ndarray:
 
 def bench_train(size: int, dtype: str, tiny: bool, steps: int = 10,
                 emit: bool = True, remat="full", B: int = 5, T: int = 7,
-                entry_layouts: bool = False):
+                entry_layouts: bool = False, adam_mu_dtype: str = "float32"):
     """Training-step throughput (B5/T7 reference config, remat BPTT).
 
     With ``emit`` prints its own JSON line (--mode train); the default
@@ -154,7 +154,8 @@ def bench_train(size: int, dtype: str, tiny: bool, steps: int = 10,
     nkp = tiny_net_kernel_params() if tiny else default_net_kernel_params()
     cfg = ModelConfig.make(nkp, dtype=dtype)
     params = ULSTMnet2D.init(jax.random.PRNGKey(0), cfg)
-    opt = optax.adam(1e-4)
+    opt = optax.adam(1e-4, mu_dtype=(jnp.bfloat16 if adam_mu_dtype ==
+                                     "bfloat16" else None))
     opt_state = opt.init(params)
     remat_arg = {"full": True, "none": False}.get(remat, remat)
     # B5/T7 is the reference-style config [M]; --train_batch/--train_unroll
@@ -180,7 +181,9 @@ def bench_train(size: int, dtype: str, tiny: bool, steps: int = 10,
     if emit:
         print(json.dumps({
             "metric": f"training frames/sec/chip @ {size}x{size} B{B} T{T} "
-                      f"(flagship ULSTMnet2D, {dtype}, remat={remat} BPTT)",
+                      f"(flagship ULSTMnet2D, {dtype}, remat={remat} BPTT"
+                      + (f", mu={adam_mu_dtype}" if adam_mu_dtype != "float32"
+                         else "") + ")",
             "value": round(fps, 3),
             "unit": "frames/sec/chip",
             "vs_baseline": round(fps / CPU_BASELINE_FPS, 3),
@@ -212,6 +215,10 @@ def main():
                     help="training bench batch B (reference config is B5)")
     ap.add_argument("--train_unroll", type=int, default=7,
                     help="training bench BPTT unroll T (reference is T7)")
+    ap.add_argument("--adam_mu_dtype", type=str, default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="Adam first-moment storage dtype A/B (bf16 halves "
+                         "mu bytes + per-step copy traffic)")
     ap.add_argument("--ccl", type=str, default="sweep",
                     choices=["sweep", "scan"],
                     help="CCL variant for the fused A/B (bit-identical)")
@@ -249,7 +256,8 @@ def main():
                     "bfloat16" if args.dtype == "int8" else args.dtype,
                     args.tiny, remat=args.remat_policy,
                     B=args.train_batch, T=args.train_unroll,
-                    entry_layouts=args.entry_layouts)
+                    entry_layouts=args.entry_layouts,
+                    adam_mu_dtype=args.adam_mu_dtype)
         return
 
     step, state = build_pipeline(args.size, args.dtype, args.tiny,

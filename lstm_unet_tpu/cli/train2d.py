@@ -65,6 +65,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--spike_cooldown", type=int)
     ap.add_argument("--spike_max_rollbacks", type=int)
     ap.add_argument("--dtype", type=str, choices=["float32", "bfloat16"])
+    ap.add_argument("--adam_mu_dtype", type=str,
+                    choices=["float32", "bfloat16"],
+                    help="Adam first-moment storage dtype (bfloat16 halves "
+                         "mu bytes + per-step copy traffic; nu stays f32)")
     ap.add_argument("--remat", action="store_true", default=None)
     ap.add_argument("--remat_policy", type=str,
                     choices=["full", "save_outputs"])

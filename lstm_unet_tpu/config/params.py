@@ -265,6 +265,11 @@ class CTCParams(ParamsBase):
     # grads is skipped instead of poisoning params (failure containment the
     # reference lacked — SURVEY.md §5 failure-detection row)
     skip_nonfinite_updates: bool = True
+    # Adam first-moment (mu) storage dtype; 'bfloat16' halves mu bytes and
+    # the per-step HBM/layout-copy traffic it drags (BASELINE.md r3: 18% of
+    # the training step is copy/pad/reshape). nu stays f32 (second moments
+    # need the range). Update math is still f32 — optax casts mu per step.
+    adam_mu_dtype: str = "float32"
     num_iterations: int = 100000
     class_weights: Tuple[float, float, float] = (0.15, 0.25, 0.6)  # bg/interior/boundary [M]
 

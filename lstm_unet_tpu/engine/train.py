@@ -235,7 +235,10 @@ class Trainer:
 
         rng = jax.random.PRNGKey(seed)
         self.model_params = ULSTMnet2D.init(rng, self.cfg)
-        opt = optax.adam(params.learning_rate)
+        mu_dtype = getattr(params, "adam_mu_dtype", "float32")
+        opt = optax.adam(params.learning_rate,
+                         mu_dtype=jnp.dtype(mu_dtype) if mu_dtype
+                         and mu_dtype != "float32" else None)
         if params.grad_clip_norm and params.grad_clip_norm > 0:
             opt = optax.chain(
                 optax.clip_by_global_norm(params.grad_clip_norm), opt)

@@ -587,3 +587,27 @@ def test_spike_guard_off_by_default(synth_root, tmp_path, capsys):
     t.train(num_iterations=6)
     out = capsys.readouterr().out
     assert "SPIKE" not in out and "rolling back" not in out
+
+
+def test_adam_mu_dtype_bf16_trains(synth_root, tmp_path):
+    """adam_mu_dtype='bfloat16' stores Adam's first moment in bf16 (half the
+    mu bytes / per-step copy traffic — BASELINE.md r3 training copy bucket)
+    while still training: loss decreases, and every mu leaf is bf16 while
+    every nu leaf stays f32."""
+    p = _params(synth_root, tmp_path, adam_mu_dtype="bfloat16")
+    trainer = Trainer(p, seed=0)
+    first = trainer.train(num_iterations=2)
+    late = trainer.train(num_iterations=60)
+    assert late["loss"] < first["loss"], (first, late)
+
+    import optax
+    adam_state = [s for s in jax.tree_util.tree_leaves(
+        trainer.opt_state, is_leaf=lambda x: isinstance(
+            x, optax.ScaleByAdamState))
+        if isinstance(s, optax.ScaleByAdamState)]
+    assert adam_state, "no ScaleByAdamState found in opt_state"
+    for s in adam_state:
+        for leaf in jax.tree_util.tree_leaves(s.mu):
+            assert leaf.dtype == jnp.bfloat16, leaf.dtype
+        for leaf in jax.tree_util.tree_leaves(s.nu):
+            assert leaf.dtype == jnp.float32, leaf.dtype
