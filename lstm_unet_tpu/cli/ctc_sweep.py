@@ -61,6 +61,10 @@ def main(argv=None) -> None:
     ap.add_argument("--tta", action="store_true",
                     help="flip test-time augmentation: average softmax "
                          "probs over the 4 flip variants (4x compute)")
+    ap.add_argument("--tta_mode", type=str, default="flip",
+                    choices=("flip", "d4"),
+                    help="'d4' adds the 4 transposed variants (full "
+                         "dihedral group, 8x compute, pads square)")
     ap.add_argument("--instance_split", action="store_true",
                     help="split merged components of touching cells along "
                          "their distance-transform ridge")
@@ -126,7 +130,7 @@ def main(argv=None) -> None:
         FOV=args.FOV, cell_thresh=args.cell_thresh,
         edge_thresh=args.edge_thresh, boundary_growth=args.boundary_growth,
         grow_iters=args.grow_iters, instance_split=args.instance_split,
-        tta=args.tta, conv_method=args.conv_method,
+        tta=args.tta, tta_mode=args.tta_mode, conv_method=args.conv_method,
         entry_layouts=args.entry_layouts,
         split_method=args.split_method,
         split_window=args.split_window, split_min_dist=args.split_min_dist,

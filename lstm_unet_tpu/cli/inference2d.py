@@ -41,6 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--tta", action="store_true", default=None,
                     help="flip test-time augmentation: average softmax "
                          "probs over the 4 flip variants (4x compute)")
+    ap.add_argument("--tta_mode", type=str, default=None,
+                    choices=("flip", "d4"),
+                    help="'d4' adds the 4 transposed variants (full "
+                         "dihedral group, 8x compute, pads square)")
     ap.add_argument("--instance_split", action="store_true", default=None,
                     help="split merged components of touching cells "
                          "(see --split_method)")

@@ -392,6 +392,10 @@ class CTCInferenceParams(ParamsBase):
     # softmax probs before postprocess. 4x model compute for a quality
     # bump; off by default (no reference analog) — engine/infer.py.
     tta: bool = False
+    # 'flip' = 4 axis-flip variants; 'd4' = the full 8-element dihedral
+    # group (adds the 4 transposed variants — frames pad to a SQUARE so
+    # transposes batch with the rest; 8x model compute)
+    tta_mode: str = "flip"
     pre_sequence_frames: int = 4   # LSTM warm-up: initial frames fed reversed [M]
     save_intermediate: bool = False
     save_intermediate_path: str = ""

@@ -70,3 +70,55 @@ def test_tta_masks_shape_and_determinism(model):
     masks2 = [eng2.process_frame(f)[0] for f in frames]
     for a, b in zip(masks, masks2):
         np.testing.assert_array_equal(a, b)
+
+
+D4 = FLIPS + (
+    lambda a: a.T if a.ndim == 2 else np.swapaxes(a, 0, 1),
+    lambda a: (a.T if a.ndim == 2 else np.swapaxes(a, 0, 1))[::-1],
+    lambda a: (a.T if a.ndim == 2 else np.swapaxes(a, 0, 1))[:, ::-1],
+    lambda a: (a.T if a.ndim == 2 else np.swapaxes(a, 0, 1))[::-1, ::-1],
+)
+
+D4_INV = FLIPS + (
+    # inverse of (transpose, then flip) = (unflip, then transpose)
+    lambda a: np.swapaxes(a, 0, 1),
+    lambda a: np.swapaxes(a[::-1], 0, 1),
+    lambda a: np.swapaxes(a[:, ::-1], 0, 1),
+    lambda a: np.swapaxes(a[::-1, ::-1], 0, 1),
+)
+
+
+def test_tta_d4_probs_equal_mean_of_transformed_streams(model):
+    """Same oracle as the flip test, over the full 8-element dihedral
+    group (tta_mode='d4'): averaged probs == mean over eight independent
+    no-TTA engines fed each pre-transformed frame stream (probs aligned
+    back before averaging)."""
+    params, cfg = model
+    ip_kw = dict(save_intermediate=True, min_cell_size=3, dtype="float32")
+
+    tta_eng = StreamingInferenceEngine(
+        params, cfg, CTCInferenceParams(tta=True, tta_mode="d4", **ip_kw))
+    ref_engs = [StreamingInferenceEngine(
+        params, cfg, CTCInferenceParams(**ip_kw)) for _ in D4]
+
+    for frame in _frames(3):
+        _, probs_tta = tta_eng.process_frame(frame)
+        ref_probs = []
+        for fwd, inv, eng in zip(D4, D4_INV, ref_engs):
+            _, p = eng.process_frame(np.ascontiguousarray(fwd(frame)))
+            ref_probs.append(np.asarray(inv(p)))
+        mean_ref = np.mean(ref_probs, axis=0)
+        np.testing.assert_allclose(probs_tta, mean_ref, rtol=2e-5, atol=2e-6)
+
+
+def test_tta_d4_nonsquare_pads_square(model):
+    """d4 on a rectangular frame pads to a SQUARE before transposing; the
+    output mask still comes back at the original (oh, ow)."""
+    params, cfg = model
+    ip = CTCInferenceParams(tta=True, tta_mode="d4", min_cell_size=3,
+                            dtype="float32")
+    eng = StreamingInferenceEngine(params, cfg, ip)
+    rng = np.random.default_rng(9)
+    frame = rng.normal(0.5, 0.2, (64, 48)).astype(np.float32)
+    mask, _ = eng.process_frame(frame)
+    assert mask.shape == (64, 48)
