@@ -68,6 +68,10 @@ def main(argv=None) -> None:
     ap.add_argument("--instance_split", action="store_true",
                     help="split merged components of touching cells along "
                          "their distance-transform ridge")
+    ap.add_argument("--size_filter", type=str, default="pre",
+                    choices=("pre", "post"),
+                    help="'post' measures min/max_cell_size on the GROWN "
+                         "extent (crescents with tiny interiors survive)")
     ap.add_argument("--split_method", type=str, default="dist",
                     choices=("dist", "prob"))
     ap.add_argument("--split_window", type=int, default=16)
@@ -130,6 +134,7 @@ def main(argv=None) -> None:
         FOV=args.FOV, cell_thresh=args.cell_thresh,
         edge_thresh=args.edge_thresh, boundary_growth=args.boundary_growth,
         grow_iters=args.grow_iters, instance_split=args.instance_split,
+        size_filter=args.size_filter,
         tta=args.tta, tta_mode=args.tta_mode, conv_method=args.conv_method,
         entry_layouts=args.entry_layouts,
         split_method=args.split_method,

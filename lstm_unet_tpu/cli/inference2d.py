@@ -31,6 +31,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--boundary_growth", type=str,
                     choices=["marker", "dilate", "none"])
     ap.add_argument("--grow_iters", type=int)
+    ap.add_argument("--size_filter", type=str, default=None,
+                    choices=("pre", "post"),
+                    help="'post' measures min/max_cell_size on the GROWN "
+                         "extent (crescents with tiny interiors survive)")
     ap.add_argument("--conv_method", type=str,
                     choices=["conv", "dots", "auto"],
                     help="conv lowering (ops/conv.py + int8 twin)")

@@ -387,6 +387,10 @@ class CTCInferenceParams(ParamsBase):
     split_min_size: int = 0    # only components >= this size are split (px)
     split_hi_thresh: float = 0.8  # prob: marker threshold on p(cell)
     split_erode: int = 1       # prob: marker erosion rounds (kills px bridges)
+    # 'pre' (reference [M]): min/max_cell_size filter interiors BEFORE
+    # boundary growth; 'post': filter the GROWN extent — occlusion
+    # crescents with tiny visible interiors still seed growth
+    size_filter: str = "pre"
     # flip test-time augmentation: stream the 4 flip variants as extra
     # batch lanes (each with its own LSTM state), average the unflipped
     # softmax probs before postprocess. 4x model compute for a quality

@@ -379,6 +379,7 @@ class StreamingInferenceEngine:
                     edge_thresh=ip.edge_thresh,
                     min_cell_size=ip.min_cell_size,
                     max_cell_size=ip.max_cell_size,
+                    size_filter=getattr(ip, "size_filter", "pre"),
                     fov=ip.FOV,
                     boundary_growth=ip.boundary_growth,
                     grow_iters=ip.grow_iters,

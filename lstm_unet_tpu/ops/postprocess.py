@@ -264,7 +264,8 @@ def split_touching_instances_prob(lbl: jax.Array, interior: jax.Array,
 @functools.partial(
     jax.jit,
     static_argnames=("cell_thresh", "edge_thresh", "min_cell_size",
-                     "max_cell_size", "fov", "boundary_growth", "grow_iters",
+                     "max_cell_size", "size_filter", "fov",
+                     "boundary_growth", "grow_iters",
                      "use_pallas_ccl", "ccl_method", "relabel_method",
                      "instance_split", "split_method",
                      "split_window", "split_min_dist", "split_slack",
@@ -277,6 +278,7 @@ def postprocess_frame(
     edge_thresh: float = 0.3,
     min_cell_size: int = 10,
     max_cell_size: int = 0,
+    size_filter: str = "pre",
     fov: int = 0,
     boundary_growth: str = "marker",
     grow_iters: int = 0,
@@ -305,7 +307,13 @@ def postprocess_frame(
           model's own confidence dips
           (:func:`split_touching_instances_prob`) — default off for
           reference parity
-      3. drop components outside [min_cell_size, max_cell_size]
+      3. drop components outside [min_cell_size, max_cell_size].
+         ``size_filter='post'`` instead measures sizes AFTER step 4's
+         growth (interior + grown band): an occlusion crescent whose
+         visible interior is tiny still seeds growth and is kept if its
+         grown extent clears the bar — the oracle attributes 0.031 SEG
+         of its ceiling to such absorbed crescents (BASELINE.md r3).
+         Default 'pre' is the reference order [M].
       4. grow surviving labels into the boundary band (pixels with
          p(boundary) > edge_thresh): ``boundary_growth='marker'`` (default)
          is nearest-marker growth to band exhaustion (reference's
@@ -359,13 +367,18 @@ def postprocess_frame(
     if relabel_method == "auto":
         relabel_method = ("scatter" if jax.default_backend() == "cpu"
                           else "matmul")
+    if size_filter not in ("pre", "post"):
+        raise ValueError(f"unknown size_filter {size_filter!r}")
+    # 'post': compact only here; measure sizes on the GROWN labels below
+    pre_min = 0 if size_filter == "post" else min_cell_size
+    pre_max = 0 if size_filter == "post" else max_cell_size
     if relabel_method == "matmul":
-        lbl, _n1 = relabel_compact_mm(raw, min_size=min_cell_size,
-                                      max_size=max_cell_size)
+        lbl, _n1 = relabel_compact_mm(raw, min_size=pre_min,
+                                      max_size=pre_max)
         overflowed = _n1 > 65535
     elif relabel_method == "scatter":
-        lbl, _n1 = relabel_compact(raw, min_size=min_cell_size,
-                                   max_size=max_cell_size)
+        lbl, _n1 = relabel_compact(raw, min_size=pre_min,
+                                   max_size=pre_max)
         # the scatter FOV pass below clamps ids into 65536 bins (silently
         # merging instances past the uint16 contract) — poison that case
         # loudly too, symmetric with the matmul branch
@@ -384,6 +397,17 @@ def postprocess_frame(
         lbl = jax.lax.fori_loop(0, rounds, grow, lbl)
     elif boundary_growth != "none":
         raise ValueError(f"unknown boundary_growth {boundary_growth!r}")
+
+    if size_filter == "post":
+        # size filter + recompact on the grown extent (one extra relabel
+        # pass, ~2.3 ms @512² matmul — opt-in)
+        if relabel_method == "matmul":
+            lbl, _n2 = relabel_compact_mm(lbl, min_size=min_cell_size,
+                                          max_size=max_cell_size)
+        else:
+            lbl, _n2 = relabel_compact(lbl, min_size=min_cell_size,
+                                       max_size=max_cell_size)
+        overflowed |= _n2 > 65535
 
     if fov > 0:
         rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)

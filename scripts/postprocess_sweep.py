@@ -98,6 +98,9 @@ def main() -> None:
                          "--min_cell_size)")
     ap.add_argument("--grow_grid", default="",
                     help="optional grow_iters grid (0 = to exhaustion)")
+    ap.add_argument("--size_filter_grid", default="pre",
+                    help="size_filter values to sweep ('pre','post' or "
+                         "'pre,post')")
     # optional prob-split stage swept jointly (split_sweep.py calibrates the
     # split alone on components of SAVED masks; here it runs in-pipeline)
     ap.add_argument("--split_hi_grid", default="",
@@ -124,11 +127,13 @@ def main() -> None:
     else:
         split_g = [dict()]
 
+    sf_g = tuple(s.strip() for s in args.size_filter_grid.split(",")
+                 if s.strip()) or ("pre",)
     configs = []
-    for ct, et, ms, gi, sp in itertools.product(cell_g, edge_g, min_g,
-                                                grow_g, split_g):
+    for ct, et, ms, gi, sf, sp in itertools.product(cell_g, edge_g, min_g,
+                                                    grow_g, sf_g, split_g):
         cfg = dict(cell_thresh=ct, edge_thresh=et, min_cell_size=ms,
-                   grow_iters=gi, fov=args.fov, **sp)
+                   grow_iters=gi, size_filter=sf, fov=args.fov, **sp)
         configs.append(cfg)
     base_cfg = dict(cell_thresh=0.5, edge_thresh=0.3,
                     min_cell_size=args.min_cell_size,
@@ -212,6 +217,8 @@ def main() -> None:
         if cfg.get("instance_split"):
             extra = (f" split(hi={cfg['split_hi_thresh']} "
                      f"er={cfg['split_erode']} ms={cfg['split_min_size']})")
+        if cfg.get("size_filter", "pre") != "pre":
+            extra += f" sf={cfg['size_filter']}"
         print(f"{m:7.4f} {m - base_mean:+8.4f}  cell={cfg['cell_thresh']:.2f} "
               f"edge={cfg['edge_thresh']:.2f} min={cfg['min_cell_size']} "
               f"grow={cfg['grow_iters']}{extra}", flush=True)

@@ -505,3 +505,73 @@ def test_conv_dots_lowering_matches_conv_fwd_and_grad(monkeypatch):
     c = init_conv(jax.random.PRNGKey(2), 3, 3, 4, 4)
     out = conv2d(x, c["kernel"], c["bias"], stride=(2, 2))
     assert out.shape == (1, 4, 4, 4)
+
+
+def test_size_filter_post_keeps_grown_crescent():
+    """size_filter='post' measures min_cell_size on the GROWN extent: an
+    occlusion crescent whose visible interior is tiny (below the bar) still
+    seeds growth and survives if interior+band clears the bar; the default
+    'pre' (reference order [M]) drops it before growth. A second instance
+    comfortably above the bar is identical under both orders."""
+    h = w = 32
+    probs = np.zeros((h, w, 3), np.float32)
+    # cell A: 8x8 interior (64 px > min 20), thin ring band
+    probs[2:10, 2:10, 1] = 1.0
+    probs[1:11, 1:11, 2] = np.where(probs[1:11, 1:11, 1] == 0, 1.0, 0.0)
+    # crescent B: 3x3 interior (9 px < min 20) + a 7x7 band around it
+    # (grown extent 9 + ring = 49 px higher than the bar)
+    probs[20:23, 20:23, 1] = 1.0
+    probs[18:25, 18:25, 2] = np.where(probs[18:25, 18:25, 1] == 0, 1.0, 0.0)
+    probs[..., 0] = 1.0 - probs[..., 1] - probs[..., 2]
+
+    pre = np.asarray(postprocess_frame(
+        jnp.asarray(probs), cell_thresh=0.5, edge_thresh=0.3,
+        min_cell_size=20, size_filter="pre"))
+    post = np.asarray(postprocess_frame(
+        jnp.asarray(probs), cell_thresh=0.5, edge_thresh=0.3,
+        min_cell_size=20, size_filter="post"))
+
+    assert pre.max() == 1                     # crescent dropped pre-growth
+    assert np.all(pre[18:25, 18:25] == 0)
+    assert post.max() == 2                    # crescent survives post
+    assert post[21, 21] != 0
+    assert (post == post[21, 21]).sum() == 49  # interior + grown ring
+    # cell A identical under both orders
+    a_pre, a_post = pre[5, 5], post[5, 5]
+    np.testing.assert_array_equal(pre == a_pre, post == a_post)
+
+
+def test_size_filter_post_equals_pre_when_no_small_components():
+    """With every interior above the bar, 'post' only ADDS the grown band
+    to the measured size — outputs must be bit-identical to 'pre'."""
+    h = w = 32
+    probs = np.zeros((h, w, 3), np.float32)
+    probs[4:12, 4:12, 1] = 1.0
+    probs[3:13, 3:13, 2] = np.where(probs[3:13, 3:13, 1] == 0, 1.0, 0.0)
+    probs[20:26, 18:26, 1] = 1.0
+    probs[..., 0] = 1.0 - probs[..., 1] - probs[..., 2]
+    kw = dict(cell_thresh=0.5, edge_thresh=0.3, min_cell_size=10)
+    pre = np.asarray(postprocess_frame(jnp.asarray(probs),
+                                       size_filter="pre", **kw))
+    post = np.asarray(postprocess_frame(jnp.asarray(probs),
+                                        size_filter="post", **kw))
+    np.testing.assert_array_equal(pre, post)
+
+
+def test_size_filter_post_max_size_drops_overgrown():
+    """'post' applies max_cell_size to the grown extent too: an instance
+    whose interior passes 'pre' but whose grown extent exceeds the cap is
+    dropped under 'post'."""
+    h = w = 32
+    probs = np.zeros((h, w, 3), np.float32)
+    probs[8:16, 8:16, 1] = 1.0                  # 64-px interior
+    probs[4:20, 4:20, 2] = np.where(probs[4:20, 4:20, 1] == 0, 1.0, 0.0)
+    probs[..., 0] = 1.0 - probs[..., 1] - probs[..., 2]
+    kw = dict(cell_thresh=0.5, edge_thresh=0.3, min_cell_size=10,
+              max_cell_size=100)
+    pre = np.asarray(postprocess_frame(jnp.asarray(probs),
+                                       size_filter="pre", **kw))
+    post = np.asarray(postprocess_frame(jnp.asarray(probs),
+                                        size_filter="post", **kw))
+    assert pre.max() == 1      # 64 <= 100 pre-growth
+    assert post.max() == 0     # 16*16=256 > 100 grown
