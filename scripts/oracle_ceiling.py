@@ -22,6 +22,13 @@ import os
 
 import numpy as np
 
+# honor JAX_PLATFORMS=cpu even under the axon sitecustomize, which
+# force-prepends the TPU platform (env var alone is not enough there)
+import jax
+
+if os.environ.get("JAX_PLATFORMS") == "cpu" and \
+        jax.config.jax_platforms != "cpu":
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 from lstm_unet_tpu.io.preprocess import instance_to_three_class
@@ -42,6 +49,10 @@ def main() -> None:
     ap.add_argument("--split_rel", type=float, default=0.65)
     ap.add_argument("--split_rel_window", type=int, default=48)
     ap.add_argument("--split_min_size", type=int, default=0)
+    ap.add_argument("--size_filter", type=str, default="pre",
+                    choices=("pre", "post"),
+                    help="'post' measures min_cell_size on the GROWN "
+                         "extent (absorbed-crescent rescue)")
     ap.add_argument("--max_frames", type=int, default=0)
     args = ap.parse_args()
 
@@ -60,6 +71,7 @@ def main() -> None:
             probs = np.eye(3, dtype=np.float32)[three]
             lab = postprocess_frame(
                 jnp.asarray(probs), min_cell_size=args.min_cell_size,
+                size_filter=args.size_filter,
                 instance_split=args.instance_split,
                 split_window=args.split_window,
                 split_min_dist=args.split_min_dist,
@@ -75,7 +87,8 @@ def main() -> None:
           f"(split={args.instance_split} window={args.split_window} "
           f"min_dist={args.split_min_dist} slack={args.split_slack} "
           f"rel={args.split_rel}/{args.split_rel_window} "
-          f"min_size={args.split_min_size} min_cell={args.min_cell_size})")
+          f"min_size={args.split_min_size} min_cell={args.min_cell_size} "
+          f"sf={args.size_filter})")
 
 
 if __name__ == "__main__":
