@@ -265,6 +265,12 @@ def main() -> None:
     for seq in seqs:
         gt_dir = os.path.join(ds_gt, f"{seq}_GT", "SEG")
         pred_dir = os.path.join(args.pred_root, args.dataset, f"{seq}_RES")
+        if not os.path.isdir(pred_dir):
+            # a GT sequence with no predictions at all is not part of this
+            # calibration run (e.g. dumps made with ctc_sweep --seqs) —
+            # scoring it 0 would poison the seq-avg mean
+            print(f"baseline seq {seq}: no predictions — skipped", flush=True)
+            continue
         for gp in sorted(glob.glob(os.path.join(gt_dir, "man_seg*.tif"))):
             t = int(re.search(r"(\d+)\.tif$", gp).group(1))
             pp = os.path.join(pred_dir, f"mask{t:03d}.tif")
