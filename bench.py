@@ -251,6 +251,25 @@ def main():
 
         conv_mod.CONV_METHOD = args.conv_method
 
+    try:
+        run_bench(args)
+    except RuntimeError as e:
+        # A dead TPU backend (axon tunnel outage) must still yield ONE
+        # parseable JSON line for the driver instead of a stack trace.
+        msg = str(e)
+        if "backend" not in msg and "UNAVAILABLE" not in msg:
+            raise
+        print(json.dumps({
+            "metric": "streaming inference frames/sec/chip @ 512x512",
+            "value": 0.0,
+            "unit": "frames/sec/chip",
+            "vs_baseline": 0.0,
+            "error": "TPU backend unavailable: " + msg[:200],
+        }))
+        raise SystemExit(1)
+
+
+def run_bench(args):
     if args.mode == "train":
         bench_train(256 if args.size == 512 else args.size,
                     "bfloat16" if args.dtype == "int8" else args.dtype,
