@@ -20,6 +20,9 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import signal
+import sys
 import time
 
 import numpy as np
@@ -191,6 +194,63 @@ def bench_train(size: int, dtype: str, tiny: bool, steps: int = 10,
     return fps, f"{size}x{size} B{B} T{T} {dtype} remat"
 
 
+def preempt_chip_lease(timeout_s: int = 150) -> None:
+    """Evict a long-running chip workload so this bench can use the TPU.
+
+    ONE process may use the tunneled chip at a time, and the round driver
+    runs bench.py unconditionally. Long workloads (scripts/chip_pipeline.sh:
+    training + eval queues, hours of chip time) cooperate by writing their
+    process-GROUP id to runs/chip.lease; bench SIGTERMs the group, waits for
+    it to exit, and proceeds. Nothing is lost: training checkpoints every
+    500 steps and resumes with --continue_run, and the pipeline's eval
+    stages skip work already marked done when it is relaunched.
+
+    Set LSTM_UNET_NO_PREEMPT=1 to skip (manual benches next to a run you
+    want to keep). Never matches our own group, so bench calls made from
+    inside the pipeline itself are unaffected.
+    """
+    if os.environ.get("LSTM_UNET_NO_PREEMPT"):
+        return
+    lease = os.environ.get("LSTM_UNET_CHIP_LEASE") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "runs", "chip.lease")
+    try:
+        with open(lease) as f:
+            pgid = int(f.read().strip())
+    except (OSError, ValueError):
+        return
+    if pgid <= 1 or pgid == os.getpgid(0):
+        return
+    try:
+        os.killpg(pgid, signal.SIGTERM)
+    except (ProcessLookupError, PermissionError):
+        try:
+            os.remove(lease)
+        except OSError:
+            pass
+        return
+    print(f"bench: preempting chip lease holder pgid={pgid} "
+          f"(it resumes from checkpoints on relaunch)", file=sys.stderr)
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        time.sleep(2)
+        try:
+            os.killpg(pgid, 0)
+        except ProcessLookupError:
+            break
+    else:
+        try:
+            os.killpg(pgid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        time.sleep(5)
+    try:
+        os.remove(lease)
+    except OSError:
+        pass
+    time.sleep(30)  # let the tunnel/runtime release the chip
+    print("bench: chip lease cleared", file=sys.stderr)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=32)
@@ -251,6 +311,7 @@ def main():
 
         conv_mod.CONV_METHOD = args.conv_method
 
+    preempt_chip_lease()
     try:
         run_bench(args)
     except RuntimeError as e:
