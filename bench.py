@@ -271,8 +271,12 @@ def main():
     ap.add_argument("--no-train_too", dest="train_too", action="store_false")
     ap.add_argument("--remat_policy", type=str, default="full",
                     choices=["full", "save_outputs", "none"])
-    ap.add_argument("--train_batch", type=int, default=5,
-                    help="training bench batch B (reference config is B5)")
+    ap.add_argument("--train_batch", type=int, default=8,
+                    help="training bench batch B. Default 8: the measured "
+                         "throughput config (B8T7 41.2 f/s vs B5T7 24.7 on "
+                         "v5e — step time is nearly batch-invariant at "
+                         "B5->B8, BASELINE.md session 10). The reference "
+                         "parity config is B5.")
     ap.add_argument("--train_unroll", type=int, default=7,
                     help="training bench BPTT unroll T (reference is T7)")
     ap.add_argument("--adam_mu_dtype", type=str, default="float32",
@@ -382,7 +386,8 @@ def run_bench(args):
             tfps, tcfg = bench_train(
                 256 if args.size == 512 else args.size,
                 "bfloat16" if args.dtype == "int8" else args.dtype,
-                args.tiny, steps=6, emit=False, remat=args.remat_policy)
+                args.tiny, steps=6, emit=False, remat=args.remat_policy,
+                B=args.train_batch, T=args.train_unroll)
             out["train_value"] = round(tfps, 3)
             out["train_unit"] = "frames/sec/chip"
             out["train_config"] = tcfg

@@ -17,3 +17,18 @@ mount was empty at survey time, so citations are file-level reconstructions):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    # Honor an explicit JAX_PLATFORMS=cpu request even under this
+    # environment's sitecustomize, which force-prepends the experimental
+    # 'axon' TPU platform to jax_platforms (the env var alone is otherwise
+    # silently ignored — a CPU-requested CLI run would grab the chip).
+    # No-op everywhere else: plain jax honors the env var natively.
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass  # backend already initialized — leave as-is

@@ -145,3 +145,34 @@ if [ -n "$V4MODEL" ]; then
 fi
 
 echo "=== PIPELINE COMPLETE $(date)"
+
+# --- 7. non-square real-CTC-geometry rehearsal (VERDICT r2 task #5) -------
+# Fluo-N2DH-SIM+ geometry (690 wide x 628 high, uint16): exercises the
+# odd-height matmul-relabel padding, pad-to-16 crop-back, and FOV at
+# original size ON HARDWARE. Data: runs/heldout_ns (628x690 synthetic).
+NSDATA=/root/repo/runs/heldout_ns
+if [ -d "$NSDATA/eval" ]; then
+  stage 7a_ns_defaults timeout 2700 python -m lstm_unet_tpu.cli.ctc_sweep \
+    --model_path "$MODEL" --root_data_dir "$NSDATA/eval" \
+    --output_root "$OUT/ns_defaults" --score_seg
+  stage 7b_ns_joint timeout 2700 python -m lstm_unet_tpu.cli.ctc_sweep \
+    --model_path "$MODEL" --root_data_dir "$NSDATA/eval" \
+    --output_root "$OUT/ns_joint" "${JOINT[@]}" --score_seg
+  # cross-backend agreement on a short sequence: chip bf16 vs CPU float32
+  stage 7c_ns_agree_chip timeout 1200 python -m lstm_unet_tpu.cli.ctc_sweep \
+    --model_path "$MODEL" --root_data_dir "$NSDATA/agree" \
+    --output_root "$OUT/ns_agree_chip" --score_seg
+  ns_agree_cpu() {
+    JAX_PLATFORMS=cpu timeout 3000 python -m lstm_unet_tpu.cli.ctc_sweep \
+      --model_path "$MODEL" --root_data_dir "$NSDATA/agree" \
+      --dtype float32 --output_root "$OUT/ns_agree_cpu" --score_seg &&
+    python scripts/mask_agreement.py \
+      "$OUT/ns_agree_chip/Synth-N2DH-SIM/01" \
+      "$OUT/ns_agree_cpu/Synth-N2DH-SIM/01"
+  }
+  stage 7d_ns_agree_cpu ns_agree_cpu
+else
+  echo "=== 7: $NSDATA missing — run the non-square datagen first"
+fi
+
+echo "=== PIPELINE (incl. stage 7) COMPLETE $(date)"
