@@ -176,3 +176,18 @@ else
 fi
 
 echo "=== PIPELINE (incl. stage 7) COMPLETE $(date)"
+
+# --- 8. offline joint-recipe re-calibration for THIS model (CPU-only) ------
+# The 0.9135 recipe was calibrated on an older checkpoint's dumps; the
+# honest per-model protocol re-runs it: sweep on VAL (train/03), confirm
+# the single winner once on eval (scripts/calibrate_recipe.py).
+if [ -e "$LOGS/2a_val_dump.ok" ] && [ -e "$LOGS/2b_eval_dump.ok" ]; then
+  stage 8_recalibrate python scripts/calibrate_recipe.py \
+    --gt_root_val "$DATA/train" --pred_root_val "$OUT/val_dump" --val_seqs 03 \
+    --gt_root_eval "$DATA/eval" --pred_root_eval "$OUT/eval_dump" \
+    --out "$OUT/recipe_calibration.json"
+else
+  echo "=== 8: dumps missing — recalibration skipped"
+fi
+
+echo "=== PIPELINE (incl. stages 7-8) COMPLETE $(date)"

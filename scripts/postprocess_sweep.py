@@ -111,6 +111,10 @@ def main() -> None:
     ap.add_argument("--limit_frames", type=int, default=0,
                     help="cap annotated frames per sequence (0 = all) — "
                          "quick smoke runs")
+    ap.add_argument("--json_out", default="",
+                    help="also write the ranked results as JSON (baseline, "
+                         "per-seq means, every config) — machine-readable "
+                         "for scripts/calibrate_recipe.py")
     args = ap.parse_args()
 
     cell_g = parse_floats(args.cell_grid)
@@ -222,6 +226,23 @@ def main() -> None:
         print(f"{m:7.4f} {m - base_mean:+8.4f}  cell={cfg['cell_thresh']:.2f} "
               f"edge={cfg['edge_thresh']:.2f} min={cfg['min_cell_size']} "
               f"grow={cfg['grow_iters']}{extra}", flush=True)
+
+    if args.json_out:
+        import json
+
+        payload = {
+            "baseline_mean": base_mean,
+            "baseline_per_seq": {s: v[0] / max(v[1], 1)
+                                 for s, v in base.items()},
+            "n_frames": n_frames,
+            "rows": [{"mean": m, "config": cfg,
+                      "per_seq": {s: v[0] / max(v[1], 1) for s, v in
+                                  totals[tuple(sorted(cfg.items()))].items()}}
+                     for m, cfg in rows],
+        }
+        with open(args.json_out, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(f"json written: {args.json_out}")
 
 
 if __name__ == "__main__":
