@@ -194,6 +194,37 @@ def bench_train(size: int, dtype: str, tiny: bool, steps: int = 10,
     return fps, f"{size}x{size} B{B} T{T} {dtype} remat"
 
 
+def _group_alive(pgid: int) -> bool:
+    """True while any NON-ZOMBIE process remains in group ``pgid``.
+
+    `os.killpg(pgid, 0)` keeps succeeding while the dead group leader is an
+    unreaped zombie (its parent hasn't wait()ed yet), which made the TERM
+    wait below spin out its whole deadline before SIGKILLing an already-dead
+    group (ADVICE r3 low). Scan /proc states instead; fall back to killpg on
+    any surprise.
+    """
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/stat") as f:
+                    stat = f.read()
+                # fields after the parenthesised comm: state, ppid, pgrp
+                state, _, pgrp = stat.rsplit(")", 1)[1].split()[:3]
+                if int(pgrp) == pgid and state != "Z":
+                    return True
+            except (OSError, ValueError):
+                continue  # raced a process exit
+        return False
+    except OSError:
+        try:
+            os.killpg(pgid, 0)
+            return True
+        except ProcessLookupError:
+            return False
+
+
 def preempt_chip_lease(timeout_s: int = 150) -> None:
     """Evict a long-running chip workload so this bench can use the TPU.
 
@@ -206,8 +237,11 @@ def preempt_chip_lease(timeout_s: int = 150) -> None:
     stages skip work already marked done when it is relaunched.
 
     Set LSTM_UNET_NO_PREEMPT=1 to skip (manual benches next to a run you
-    want to keep). Never matches our own group, so bench calls made from
-    inside the pipeline itself are unaffected.
+    want to keep). Never matches our own group OR our own session: a bench
+    launched from inside the pipeline under `timeout` gets a NEW process
+    group (GNU timeout calls setpgid), so a pgid comparison alone would let
+    the pipeline preempt — i.e. SIGTERM — itself (ADVICE r3 high). The
+    pipeline also exports LSTM_UNET_NO_PREEMPT for belt and braces.
     """
     if os.environ.get("LSTM_UNET_NO_PREEMPT"):
         return
@@ -221,6 +255,11 @@ def preempt_chip_lease(timeout_s: int = 150) -> None:
     if pgid <= 1 or pgid == os.getpgid(0):
         return
     try:
+        if os.getsid(pgid) == os.getsid(0):
+            return  # the lease holder is an ancestor in our own session
+    except (ProcessLookupError, PermissionError):
+        pass  # leader already gone — fall through to stale-lease cleanup
+    try:
         os.killpg(pgid, signal.SIGTERM)
     except (ProcessLookupError, PermissionError):
         try:
@@ -233,9 +272,7 @@ def preempt_chip_lease(timeout_s: int = 150) -> None:
     deadline = time.time() + timeout_s
     while time.time() < deadline:
         time.sleep(2)
-        try:
-            os.killpg(pgid, 0)
-        except ProcessLookupError:
+        if not _group_alive(pgid):
             break
     else:
         try:

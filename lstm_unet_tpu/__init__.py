@@ -30,5 +30,13 @@ if _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
         import jax as _jax
 
         _jax.config.update("jax_platforms", "cpu")
-    except Exception:
-        pass  # backend already initialized — leave as-is
+    except Exception as _e:
+        # A silent fallback to the axon TPU platform would make CPU-vs-chip
+        # agreement runs compare chip-vs-chip (vacuous ~1.0 agreement) and
+        # grab the single-user chip (ADVICE r3) — be loud about it.
+        import sys as _sys
+
+        print("lstm_unet_tpu: WARNING: JAX_PLATFORMS=cpu requested but "
+              f"could not be honored ({_e!r}) — this process may use the "
+              "TPU; CPU-vs-chip parity results from it are invalid",
+              file=_sys.stderr)

@@ -22,6 +22,22 @@ import orbax.checkpoint as ocp
 MODEL_PARAMS_FILE = "model_params.json"
 
 
+def resolve_model_dir(directory: str) -> str:
+    """Accept a model dir OR the training RUN dir that nests it.
+
+    The Trainer writes ``<run>/ckpt/{model_params.json, <step>/...}``; CLI
+    users (and the chip pipeline) naturally pass the run dir itself. When
+    ``model_params.json`` is absent at ``directory`` but present under its
+    ``ckpt/`` subdir, resolve to that subdir; otherwise return the input
+    unchanged (so error messages still point at what the user typed).
+    """
+    if not os.path.exists(os.path.join(directory, MODEL_PARAMS_FILE)):
+        sub = os.path.join(directory, "ckpt")
+        if os.path.exists(os.path.join(sub, MODEL_PARAMS_FILE)):
+            return sub
+    return directory
+
+
 def save_model_params(directory: str, arch: Dict[str, Any]) -> None:
     """Save the architecture/config description (reference: pickled params [M])."""
     os.makedirs(directory, exist_ok=True)
@@ -114,6 +130,7 @@ def average_checkpoints(src_dir: str, out_dir: str,
     """
     import numpy as np
 
+    src_dir = resolve_model_dir(src_dir)
     src = CheckpointManager(src_dir)
     try:
         steps = sorted(int(s) for s in (steps or src.all_steps()))

@@ -110,7 +110,25 @@ def main(argv=None) -> None:
                     help="first calibrate int8 activation scales on the "
                          "first N frames of the first sequence (writes "
                          "act_scales.json into --model_path)")
+    ap.add_argument("--watchdog_secs", type=float, default=0.0,
+                    help="exit 17 if no inference frame completes for this "
+                         "many seconds (wedged device client); 0 disables. "
+                         "Must cover the first-step compile (~2-6 min on "
+                         "the tunneled TPU). A relaunched pipeline reruns "
+                         "the stage (.ok markers).")
+    ap.add_argument("--recipe", type=str, default="",
+                    help="knob recipe JSON (configs/recommended.json or a "
+                         "scripts/calibrate_recipe.py output); its keys "
+                         "override the flag defaults")
     args = ap.parse_args(argv)
+
+    if args.recipe:
+        from ..config import load_recipe
+
+        recipe = load_recipe(args.recipe, known=set(vars(args)))
+        for k, v in recipe.items():
+            setattr(args, k, v)
+        log_print(f"recipe {args.recipe}: {recipe}")
 
     if args.calibrate and args.dtype != "int8":
         # calibration writes act_scales.json into --model_path; only the
@@ -144,6 +162,7 @@ def main(argv=None) -> None:
         split_min_size=args.split_min_size,
         split_hi_thresh=args.split_hi_thresh, split_erode=args.split_erode,
         pre_sequence_frames=args.pre_sequence_frames,
+        watchdog_secs=args.watchdog_secs,
         save_intermediate=args.save_intermediate,
         dtype=args.dtype, state_dtype=args.state_dtype,
         fused_cell=args.fused_cell, reset_on_jump=args.reset_on_jump,

@@ -81,6 +81,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="first calibrate int8 activation scales on the "
                          "sequence's first N frames (writes act_scales.json "
                          "into --model_path; later int8 runs reuse it)")
+    ap.add_argument("--watchdog_secs", type=float, default=None,
+                    help="exit 17 if no inference frame completes for this "
+                         "many seconds (wedged device client); 0 disables. "
+                         "Must cover the first-step compile.")
+    ap.add_argument("--recipe", type=str, default=None,
+                    help="knob recipe JSON (configs/recommended.json or a "
+                         "scripts/calibrate_recipe.py output); explicit "
+                         "flags still win over recipe keys")
     ap.add_argument("--ckpt_step", type=int,
                     help="restore this saved checkpoint step (0 = latest)")
     return ap
@@ -89,7 +97,12 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> None:
     args = vars(build_parser().parse_args(argv))
     calibrate = args.pop("calibrate")
+    recipe = args.pop("recipe")
     params = CTCInferenceParams()
+    if recipe:
+        from ..config import load_recipe
+
+        params.override(**load_recipe(recipe, known=set(vars(params))))
     params.override(**args)
     if calibrate:
         from ..engine.infer import calibrate_model_dir

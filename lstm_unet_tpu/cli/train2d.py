@@ -82,6 +82,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "of per-step conv-kernel copies; single-device)")
     ap.add_argument("--gt_is_full_seg", type=lambda s: s.lower() == "true",
                     default=None, help="override the full-annotation heuristic")
+    ap.add_argument("--recipe", type=str, default=None,
+                    help="knob recipe JSON (configs/recommended.json); "
+                         "training keys it carries (e.g. class_weights) "
+                         "apply before explicit flags")
     ap.add_argument("--seed", type=int, default=0)
     return ap
 
@@ -89,8 +93,13 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> None:
     args = vars(build_parser().parse_args(argv))
     seed = args.pop("seed")
+    recipe = args.pop("recipe", None)
     nkp = args.pop("net_kernel_params", None)
     params = CTCParams()
+    if recipe:
+        from ..config import load_recipe
+
+        params.override(**load_recipe(recipe, known=set(vars(params))))
     if nkp:
         try:
             d = json.loads(nkp)

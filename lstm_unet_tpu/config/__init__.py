@@ -4,5 +4,6 @@ from .params import (  # noqa: F401
     CTCParams,
     CTCInferenceParams,
     default_net_kernel_params,
+    load_recipe,
     tiny_net_kernel_params,
 )

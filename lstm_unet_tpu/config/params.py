@@ -420,6 +420,13 @@ class CTCInferenceParams(ParamsBase):
     # behavior at the cost of pre_sequence-style cold-start on the cut.
     reset_on_jump: float = 0.0
     digit_4: bool = False          # True → mask%04d.tif (long sequences, e.g. PSC)
+    # Stall watchdog for unattended eval/sweep runs, same contract as
+    # CTCParams.watchdog_secs (>0 arms utils.watchdog.StallWatchdog, fed per
+    # FRAME; a wedged device client hard-exits 17 so a supervisor/pipeline
+    # relaunch can rerun the stage). Must cover the first-step compile
+    # (~2-6 min on the tunneled TPU). VERDICT r3 task 8: the terminal-
+    # backend failure mode killed an in-process scoring pass mid-eval.
+    watchdog_secs: float = 0.0
     # AOT-compile the streaming step with AUTO entry layouts for the model
     # params and device_put the weights into the executable's preferred
     # layouts ONCE (jax.experimental.layout). Default entry layouts force
@@ -431,3 +438,37 @@ class CTCInferenceParams(ParamsBase):
     # multi-chip streaming (no reference analog): 'data' shards batched
     # sequences, 'spatial' shards frame height (XLA inserts conv halos)
     mesh_shape: Dict[str, int] = field(default_factory=dict)
+
+
+# --------------------------------------------------------------------------
+# Named recipes (no reference analog: the reference ships one hardcoded
+# default per knob; this repo additionally ships the measured-best recipe —
+# configs/recommended.json — so the BASELINE.md headline reproduces with one
+# flag instead of nine)
+# --------------------------------------------------------------------------
+
+
+def load_recipe(path: str, known: Optional[set] = None) -> Dict[str, Any]:
+    """Load a named knob recipe for ``--recipe`` CLI flags.
+
+    Accepts either a flat knob dict (e.g. ``configs/recommended.json``) or a
+    ``scripts/calibrate_recipe.py`` output file (its ``"winner"`` dict is
+    used). Keys are CTCParams / CTCInferenceParams knob names shared by the
+    train and inference CLIs; each CLI passes ``known`` to keep only the
+    keys it understands. ``"fov"`` is accepted as an alias for ``"FOV"``,
+    lists become tuples (class_weights / crop_size), and a recipe that turns
+    on ``instance_split`` without naming a ``split_method`` gets the
+    measured-best ``"prob"`` splitter (BASELINE.md r3).
+    """
+    with open(path) as f:
+        d = json.load(f)
+    if isinstance(d.get("winner"), dict):
+        d = d["winner"]
+    d = {k: (tuple(v) if isinstance(v, list) else v) for k, v in d.items()}
+    if "fov" in d and "FOV" not in d:
+        d["FOV"] = d.pop("fov")
+    if d.get("instance_split") and "split_method" not in d:
+        d["split_method"] = "prob"
+    if known is not None:
+        d = {k: v for k, v in d.items() if k in known}
+    return d

@@ -1,6 +1,6 @@
 #!/bin/bash
-# Chip pipeline (round 3, session 11): the FULL queued TPU workload behind
-# one chip lease, restartable after preemption or a VM reset.
+# Chip pipeline (round 4): the FULL queued TPU workload behind one chip
+# lease, restartable after preemption or a VM reset.
 #
 # ONE process may use the tunneled TPU at a time, and the round driver runs
 # `python bench.py` at round end on the same chip. Coordination protocol:
@@ -11,22 +11,34 @@
 # resumes via --continue_run; eval stages are skipped once their .ok marker
 # exists. Relaunching this script resumes wherever it was killed.
 #
+# LSTM_UNET_NO_PREEMPT is exported so the pipeline's OWN bench stages never
+# preempt the pipeline itself: GNU timeout calls setpgid(0,0), so an
+# internal `timeout N python bench.py` runs in a NEW process group and
+# bench's own-group guard alone would not match — it would SIGTERM the
+# lease group, i.e. this script (ADVICE r3 high). bench.py additionally
+# skips same-session lease holders as belt and braces.
+#
 # Launch (survives session end):
 #   setsid nohup bash scripts/chip_pipeline.sh > runs/pipeline.log 2>&1 &
 #
-# Queue (see TODO.md / BASELINE.md session 10):
+# Queue (VERDICT r3 tasks 1,2,3,4,6,7 + TODO.md):
 #   T.  v3bw retrain to step 8000 (recipe scripts/run_v3bw.sh; the step-8000
 #       checkpoint from sessions 8-9 died with a VM reset)
 #   1.  batched int8 streaming A/B (batch 2/4/1) — the 40-fps serving lever
+#   M.  training-step A/B: B5 parity / B8 throughput / B8 adam_mu=bf16
 #   2.  prob dumps (VAL train/03 + eval) for offline postprocess calibration
-#   3.  shipped-defaults eval (--score_seg) for cross-session comparability
-#   4.  VAL-calibrated joint recipe on-chip: bf16 then int8 parity gates
-#   5.  soup(7000,8000) joint-recipe eval
+#   3.  re-calibrate the joint recipe for THIS model's weights (CPU-only;
+#       never reuse thresholds tuned on a dead checkpoint — VERDICT r3 #1)
+#   4.  recalibrated joint recipe on-chip: bf16 then int8 parity gates
+#   5.  checkpoint selection: rank late saves on val (03+10), soup the best
+#       two into runs/save/best (durable artifact), confirm on eval, prune
 #   6.  v4 occlusion-hardness fine-tune (seeds v3bw step 8000, lr 1e-4,
 #       3000 steps) + joint-recipe eval of the fine-tuned model
+#   7.  non-square 690x628 rehearsal + chip-vs-CPU mask agreement
 set -u
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
+export LSTM_UNET_NO_PREEMPT=1
 
 DATA=/root/repo/runs/heldout
 SAVE=/root/repo/runs/save
@@ -79,36 +91,62 @@ stage 1a_int8_batch2 timeout 900 python bench.py --no-train_too --batch 2
 stage 1b_int8_batch4 timeout 900 python bench.py --no-train_too --batch 4
 stage 1c_int8_batch1 timeout 900 python bench.py --no-train_too
 
-JOINT=(--cell_thresh 0.55 --edge_thresh 0.30 --size_filter post
-       --instance_split --split_method prob --split_hi_thresh 0.8
-       --split_erode 1 --split_min_size 3500)
+# --- M. training-step A/B: parity B5, throughput B8, adam_mu bf16 ---------
+# (VERDICT r3 #6 + ADVICE r3 low: record BOTH the B5 parity and B8
+# throughput denominators each round, and chip-measure adam_mu=bfloat16,
+# which targets the measured 256 ms/step copy/pad bucket of BPTT)
+stage Ma_train_B5_parity timeout 900 python bench.py --mode train --train_batch 5
+stage Mb_train_B8_muf32 timeout 900 python bench.py --mode train
+stage Mc_train_B8_mubf16 timeout 900 python bench.py --mode train --adam_mu_dtype bfloat16
 
-# --- 2. prob dumps (VAL + eval) + 3. shipped-defaults scores -------------
+# --- 2. prob dumps (VAL + eval) + shipped-defaults scores ----------------
 stage 2a_val_dump timeout 1800 python -m lstm_unet_tpu.cli.ctc_sweep \
   --model_path "$MODEL" --root_data_dir "$DATA/train" --seqs 03 \
-  --output_root "$OUT/val_dump" --save_intermediate --score_seg
+  --output_root "$OUT/val_dump" --save_intermediate --score_seg \
+  --watchdog_secs 600
 stage 2b_eval_dump timeout 2700 python -m lstm_unet_tpu.cli.ctc_sweep \
   --model_path "$MODEL" --root_data_dir "$DATA/eval" \
-  --output_root "$OUT/eval_dump" --save_intermediate --score_seg
+  --output_root "$OUT/eval_dump" --save_intermediate --score_seg \
+  --watchdog_secs 600
+
+# --- 3. re-calibrate the joint recipe for THIS model (CPU-only) -----------
+if [ -e "$LOGS/2a_val_dump.ok" ] && [ -e "$LOGS/2b_eval_dump.ok" ]; then
+  stage 3_recalibrate python scripts/calibrate_recipe.py \
+    --gt_root_val "$DATA/train" --pred_root_val "$OUT/val_dump" --val_seqs 03 \
+    --gt_root_eval "$DATA/eval" --pred_root_eval "$OUT/eval_dump" \
+    --out "$OUT/recipe_calibration.json"
+else
+  echo "=== 3: dumps missing — recalibration skipped"
+fi
+
+# The recipe for every joint-recipe stage below: the per-model calibration
+# when stage 3 produced one, else the committed recommended recipe.
+RECIPE="$OUT/recipe_calibration.json"
+if [ ! -e "$RECIPE" ]; then
+  RECIPE=/root/repo/configs/recommended.json
+fi
+echo "=== joint recipe: $RECIPE"
 
 # --- 4. joint-recipe parity gates: bf16 then int8 ------------------------
 stage 4a_joint_bf16 timeout 2700 python -m lstm_unet_tpu.cli.ctc_sweep \
   --model_path "$MODEL" --root_data_dir "$DATA/eval" \
-  --output_root "$OUT/eval_joint_bf16" "${JOINT[@]}" --score_seg
+  --output_root "$OUT/eval_joint_bf16" --recipe "$RECIPE" --score_seg \
+  --watchdog_secs 600
 stage 4b_joint_int8 timeout 2700 python -m lstm_unet_tpu.cli.ctc_sweep \
   --model_path "$MODEL" --root_data_dir "$DATA/eval" \
   --output_root "$OUT/eval_joint_int8" \
-  --dtype int8 --calibrate 16 "${JOINT[@]}" --score_seg
+  --dtype int8 --calibrate 16 --recipe "$RECIPE" --score_seg \
+  --watchdog_secs 600
 
-# --- 5. soup(7000,8000) joint-recipe eval ---------------------------------
-soup_eval() {
-  timeout 600 python -m lstm_unet_tpu.cli.ckpt_avg --model_path "$MODEL" \
-    --output_dir "$MODEL/soup78" --steps 7000,8000 &&
-  timeout 2700 python -m lstm_unet_tpu.cli.ctc_sweep \
-    --model_path "$MODEL/soup78" --root_data_dir "$DATA/eval" \
-    --output_root "$OUT/eval_joint_soup78" "${JOINT[@]}" --score_seg
-}
-stage 5_soup78 soup_eval
+# --- 5. checkpoint selection + durable best artifact -----------------------
+# Rank the last saves on TWO val sequences (03 = crop-val, 10 = unseen-by-
+# v3bw v4 sequence), soup the best two into runs/save/best (a standalone
+# inference model dir that survives VM resets), confirm once on eval, and
+# prune stale step dirs (VERDICT r3 tasks 4+7).
+stage 5_select_best timeout 7200 python scripts/select_best.py \
+  --model_path "$MODEL" --data_root "$DATA" --val_seqs 03,10 \
+  --recipe "$RECIPE" --best_dir "$SAVE/best" --prune \
+  --out "$OUT/select_best.json"
 
 # --- 6. v4 occlusion-hardness fine-tune + eval -----------------------------
 # Seeds the finished v3bw checkpoint; trains on v3 sequences + the v4
@@ -141,12 +179,13 @@ V4MODEL=$(ls -d "$SAVE"/v4ft_* 2>/dev/null | sort | tail -1)
 if [ -n "$V4MODEL" ]; then
   stage 6b_v4_joint_eval timeout 2700 python -m lstm_unet_tpu.cli.ctc_sweep \
     --model_path "$V4MODEL" --root_data_dir "$DATA/eval" \
-    --output_root "$OUT/eval_joint_v4ft" "${JOINT[@]}" --score_seg
+    --output_root "$OUT/eval_joint_v4ft" --recipe "$RECIPE" --score_seg \
+    --watchdog_secs 600
 fi
 
-echo "=== PIPELINE COMPLETE $(date)"
+echo "=== PIPELINE (core stages) COMPLETE $(date)"
 
-# --- 7. non-square real-CTC-geometry rehearsal (VERDICT r2 task #5) -------
+# --- 7. non-square real-CTC-geometry rehearsal (repeat on the new model) ---
 # Fluo-N2DH-SIM+ geometry (690 wide x 628 high, uint16): exercises the
 # odd-height matmul-relabel padding, pad-to-16 crop-back, and FOV at
 # original size ON HARDWARE. Data: runs/heldout_ns (628x690 synthetic).
@@ -154,40 +193,26 @@ NSDATA=/root/repo/runs/heldout_ns
 if [ -d "$NSDATA/eval" ]; then
   stage 7a_ns_defaults timeout 2700 python -m lstm_unet_tpu.cli.ctc_sweep \
     --model_path "$MODEL" --root_data_dir "$NSDATA/eval" \
-    --output_root "$OUT/ns_defaults" --score_seg
+    --output_root "$OUT/ns_defaults" --score_seg --watchdog_secs 600
   stage 7b_ns_joint timeout 2700 python -m lstm_unet_tpu.cli.ctc_sweep \
     --model_path "$MODEL" --root_data_dir "$NSDATA/eval" \
-    --output_root "$OUT/ns_joint" "${JOINT[@]}" --score_seg
+    --output_root "$OUT/ns_joint" --recipe "$RECIPE" --score_seg \
+    --watchdog_secs 600
   # cross-backend agreement on a short sequence: chip bf16 vs CPU float32
   stage 7c_ns_agree_chip timeout 1200 python -m lstm_unet_tpu.cli.ctc_sweep \
     --model_path "$MODEL" --root_data_dir "$NSDATA/agree" \
-    --output_root "$OUT/ns_agree_chip" --score_seg
+    --output_root "$OUT/ns_agree_chip" --score_seg --watchdog_secs 600
   ns_agree_cpu() {
     JAX_PLATFORMS=cpu timeout 3000 python -m lstm_unet_tpu.cli.ctc_sweep \
       --model_path "$MODEL" --root_data_dir "$NSDATA/agree" \
       --dtype float32 --output_root "$OUT/ns_agree_cpu" --score_seg &&
     python scripts/mask_agreement.py \
-      "$OUT/ns_agree_chip/Synth-N2DH-SIM/01" \
-      "$OUT/ns_agree_cpu/Synth-N2DH-SIM/01"
+      "$OUT/ns_agree_chip/Synth-N2DH-SIM/01_RES" \
+      "$OUT/ns_agree_cpu/Synth-N2DH-SIM/01_RES"
   }
   stage 7d_ns_agree_cpu ns_agree_cpu
 else
   echo "=== 7: $NSDATA missing — run the non-square datagen first"
 fi
 
-echo "=== PIPELINE (incl. stage 7) COMPLETE $(date)"
-
-# --- 8. offline joint-recipe re-calibration for THIS model (CPU-only) ------
-# The 0.9135 recipe was calibrated on an older checkpoint's dumps; the
-# honest per-model protocol re-runs it: sweep on VAL (train/03), confirm
-# the single winner once on eval (scripts/calibrate_recipe.py).
-if [ -e "$LOGS/2a_val_dump.ok" ] && [ -e "$LOGS/2b_eval_dump.ok" ]; then
-  stage 8_recalibrate python scripts/calibrate_recipe.py \
-    --gt_root_val "$DATA/train" --pred_root_val "$OUT/val_dump" --val_seqs 03 \
-    --gt_root_eval "$DATA/eval" --pred_root_eval "$OUT/eval_dump" \
-    --out "$OUT/recipe_calibration.json"
-else
-  echo "=== 8: dumps missing — recalibration skipped"
-fi
-
-echo "=== PIPELINE (incl. stages 7-8) COMPLETE $(date)"
+echo "=== PIPELINE (all stages) COMPLETE $(date)"

@@ -1,0 +1,193 @@
+"""Checkpoint selection + durable best-model artifact (pipeline stage 5).
+
+Closes two round-3 gaps (VERDICT r3 tasks 4+7):
+
+- **Selection is a tested pipeline stage, not lore.** val/seg rank-inverted
+  against held-out SEG twice in round 3 (4000>5000>6000 reversed; a
+  "recovered" val 0.9419 checkpoint scored 0.8549 held-out), and the
+  measured remedies — rank late saves on a WIDER val set, soup the best
+  two — lived only in BASELINE.md + a manual CLI. This script ranks the
+  last N saved checkpoints on >=2 val sequences (default 03 = the crop-val
+  sequence, 10 = a v4 sequence unseen by v3bw training; eval/ stays
+  untouched by selection), averages the best two (checkpoint soup,
+  cli/ckpt_avg machinery), and confirms the soup ONCE on the held-out eval
+  split. Ranking never looks at eval; eval is only used to report the
+  pre-registered winner, so the protocol stays selection-clean.
+
+- **A VM reset must cost zero reproduction hours.** Round 3 lost the
+  headline checkpoint to /tmp wipes twice. The soup is written to
+  ``--best_dir`` (runs/save/best) as a STANDALONE inference model dir
+  (params-only orbax ckpt + model_params.json + the recipe JSON + int8
+  act_scales after calibration) served directly by
+  ``inference2d --model_path runs/save/best``. ``--prune`` then removes
+  stale step dirs from the training run (keeps the soup constituents + the
+  latest), bounding runs/save growth (~0.9 GB per step dir).
+
+Chip cost: len(steps) val sweeps + 1-2 eval confirms (~10 min each on v5e
+through the tunnel, compile-dominated).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SEG_RE = re.compile(r"SEG (\S+): ([0-9.]+)")
+
+
+def run_sweep(model_path: str, data_root: str, output_root: str,
+              recipe: str, seqs: str = "", ckpt_step: int = 0,
+              dtype: str = "", calibrate: int = 0,
+              timeout: int = 2700) -> dict:
+    """One ctc_sweep subprocess; returns {seq_dir: SEG} parsed from its log."""
+    cmd = [sys.executable, "-m", "lstm_unet_tpu.cli.ctc_sweep",
+           "--model_path", model_path, "--root_data_dir", data_root,
+           "--output_root", output_root, "--score_seg",
+           "--watchdog_secs", "600"]
+    if recipe:
+        cmd += ["--recipe", recipe]
+    if seqs:
+        cmd += ["--seqs", seqs]
+    if ckpt_step:
+        cmd += ["--ckpt_step", str(ckpt_step)]
+    if dtype:
+        cmd += ["--dtype", dtype]
+    if calibrate:
+        cmd += ["--calibrate", str(calibrate)]
+    r = subprocess.run(cmd, text=True, capture_output=True, timeout=timeout,
+                       cwd=REPO)
+    sys.stderr.write(r.stdout[-2000:] + r.stderr[-1000:])
+    if r.returncode != 0:
+        raise RuntimeError(f"ctc_sweep rc={r.returncode}: {' '.join(cmd)}")
+    return {m.group(1): float(m.group(2))
+            for m in SEG_RE.finditer(r.stdout)}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model_path", required=True,
+                    help="training run dir (or its ckpt/ subdir)")
+    ap.add_argument("--data_root", required=True,
+                    help="held-out protocol root (train/ = val source, "
+                         "eval/ = confirm-only)")
+    ap.add_argument("--val_seqs", default="03,10",
+                    help="ranking sequences under <data_root>/train "
+                         "(NEVER in eval/)")
+    ap.add_argument("--steps", default="",
+                    help="comma-separated checkpoint steps to rank "
+                         "(default: the last --last_n saved)")
+    ap.add_argument("--last_n", type=int, default=4)
+    ap.add_argument("--recipe", default="",
+                    help="postprocess recipe JSON for every sweep")
+    ap.add_argument("--best_dir", default="",
+                    help="write soup(best two) here as a standalone durable "
+                         "inference model dir")
+    ap.add_argument("--prune", action="store_true",
+                    help="after the soup is written, delete step dirs other "
+                         "than the soup constituents + the latest")
+    ap.add_argument("--skip_int8", action="store_true",
+                    help="skip the int8 calibration + parity confirm on the "
+                         "soup")
+    ap.add_argument("--work_dir", default="",
+                    help="where sweep masks land (default "
+                         "<model_path>/select_best_work)")
+    ap.add_argument("--out", default="", help="summary JSON path")
+    args = ap.parse_args()
+
+    from lstm_unet_tpu.checkpoint import average_checkpoints, resolve_model_dir
+
+    ckpt_dir = resolve_model_dir(args.model_path)
+    saved = sorted(int(d) for d in os.listdir(ckpt_dir)
+                   if d.isdigit() and os.path.isdir(os.path.join(ckpt_dir, d)))
+    if not saved:
+        raise FileNotFoundError(f"no checkpoint steps under {ckpt_dir}")
+    steps = ([int(s) for s in args.steps.split(",") if s.strip()]
+             or saved[-args.last_n:])
+    work = args.work_dir or os.path.join(args.model_path, "select_best_work")
+    os.makedirs(work, exist_ok=True)
+
+    # --- rank on val ------------------------------------------------------
+    ranking = []
+    for s in steps:
+        scores = run_sweep(args.model_path, os.path.join(args.data_root, "train"),
+                           os.path.join(work, f"val_{s}"), args.recipe,
+                           seqs=args.val_seqs, ckpt_step=s)
+        if not scores:
+            raise RuntimeError(f"step {s}: no SEG scores parsed (GT missing?)")
+        mean = sum(scores.values()) / len(scores)
+        ranking.append({"step": s, "val_mean": round(mean, 4),
+                        "per_seq": {k: round(v, 4) for k, v in scores.items()}})
+        print(f"select_best: step {s} val mean {mean:.4f}", flush=True)
+    ranking.sort(key=lambda r: -r["val_mean"])
+    best_two = sorted(r["step"] for r in ranking[:2])
+
+    summary = {"val_ranking": ranking, "soup_steps": best_two}
+
+    # --- soup + durable artifact ------------------------------------------
+    if args.best_dir:
+        if os.path.isdir(args.best_dir):
+            shutil.rmtree(args.best_dir)  # regenerate atomically-ish
+        out_step = average_checkpoints(args.model_path, args.best_dir,
+                                       steps=best_two)
+        summary["best_dir"] = args.best_dir
+        summary["best_step"] = out_step
+        if args.recipe:
+            shutil.copyfile(args.recipe,
+                            os.path.join(args.best_dir, "recipe.json"))
+        with open(os.path.join(args.best_dir, "provenance.json"), "w") as f:
+            json.dump({"source": os.path.abspath(args.model_path),
+                       "soup_steps": best_two,
+                       "val_seqs": args.val_seqs,
+                       "val_ranking": ranking}, f, indent=1)
+
+        # confirm ONCE on eval (pre-registered winner — no eval ranking)
+        eval_scores = run_sweep(args.best_dir,
+                                os.path.join(args.data_root, "eval"),
+                                os.path.join(work, "eval_soup"), args.recipe)
+        summary["eval_soup_mean"] = round(
+            sum(eval_scores.values()) / max(len(eval_scores), 1), 4)
+        summary["eval_soup_per_seq"] = {
+            k: round(v, 4) for k, v in eval_scores.items()}
+        print(f"select_best: soup{best_two} eval mean "
+              f"{summary['eval_soup_mean']:.4f}", flush=True)
+
+        if not args.skip_int8:
+            # int8 gate on the soup; --calibrate also writes provenance-
+            # stamped act_scales.json INTO best_dir (soups must recalibrate:
+            # averaged weights shift activation ranges)
+            int8_scores = run_sweep(args.best_dir,
+                                    os.path.join(args.data_root, "eval"),
+                                    os.path.join(work, "eval_soup_int8"),
+                                    args.recipe, dtype="int8", calibrate=16)
+            summary["eval_soup_int8_mean"] = round(
+                sum(int8_scores.values()) / max(len(int8_scores), 1), 4)
+            summary["eval_soup_int8_per_seq"] = {
+                k: round(v, 4) for k, v in int8_scores.items()}
+
+    # --- prune stale step dirs ---------------------------------------------
+    if args.prune:
+        keep = set(best_two) | {saved[-1]}
+        pruned = []
+        for s in saved:
+            if s in keep:
+                continue
+            shutil.rmtree(os.path.join(ckpt_dir, str(s)), ignore_errors=True)
+            pruned.append(s)
+        summary["pruned_steps"] = pruned
+        print(f"select_best: pruned {len(pruned)} step dirs, kept "
+              f"{sorted(keep)}", flush=True)
+
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(summary, f, indent=1)
+    print(json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -89,3 +89,45 @@ def test_garbage_lease_ignored(tmp_path, monkeypatch):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+def test_same_session_lease_holder_never_preempted(tmp_path, monkeypatch):
+    # GNU timeout setpgid()s its child into a NEW process group, so a bench
+    # launched from inside the pipeline has a different pgid than the lease —
+    # but the SAME session. The sid guard must refuse to preempt (ADVICE r3
+    # high: the pipeline SIGTERMed itself at its first internal bench stage).
+    proc = subprocess.Popen(
+        [sys.executable, "-c", "import time; time.sleep(600)"],
+        preexec_fn=os.setpgrp)  # new group, same session
+    try:
+        pgid = os.getpgid(proc.pid)
+        assert pgid != os.getpgid(0) and os.getsid(proc.pid) == os.getsid(0)
+        lease = tmp_path / "chip.lease"
+        lease.write_text(str(pgid))
+        monkeypatch.setenv("LSTM_UNET_CHIP_LEASE", str(lease))
+        monkeypatch.delenv("LSTM_UNET_NO_PREEMPT", raising=False)
+        preempt_chip_lease(timeout_s=5)
+        assert proc.poll() is None  # untouched
+        assert lease.exists()
+    finally:
+        proc.kill()
+        proc.wait()
+
+
+def test_zombie_group_detected_dead_quickly(tmp_path, monkeypatch):
+    # After SIGTERM the child dies but stays a ZOMBIE until reaped;
+    # os.killpg(pgid, 0) still succeeds on zombies, which used to spin the
+    # whole TERM->KILL deadline (ADVICE r3 low). _group_alive reads /proc
+    # states instead.
+    from bench import _group_alive
+
+    proc = _spawn_group()
+    pgid = os.getpgid(proc.pid)
+    assert _group_alive(pgid)
+    os.killpg(pgid, signal.SIGKILL)
+    deadline = time.time() + 10
+    while _group_alive(pgid) and time.time() < deadline:
+        time.sleep(0.05)
+    assert not _group_alive(pgid)  # zombie counts as dead
+    os.killpg(pgid, 0)  # still a zombie: kill(0) succeeds — the old check
+    proc.wait()

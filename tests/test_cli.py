@@ -2,6 +2,7 @@
 onto Params fields — SURVEY.md §1 L3)."""
 
 import json
+import os
 
 import pytest
 
@@ -121,3 +122,74 @@ def test_train2d_cli_continue_run_reuses_dir(tmp_path):
     ckpt = os.path.join(str(tmp_path / "runs"), runs[0], "ckpt")
     steps = sorted(d for d in os.listdir(ckpt) if d.isdigit())
     assert "4" in steps and any(int(s) > 4 for s in steps), steps
+
+
+# --------------------------------------------------------------------------
+# --recipe flag (round 4): one-flag reproduction of the measured-best knobs
+# --------------------------------------------------------------------------
+
+
+def test_load_recipe_recommended_and_winner_formats(tmp_path):
+    from lstm_unet_tpu.config import CTCInferenceParams, load_recipe
+
+    # repo-shipped recommended recipe: applies cleanly to inference params
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    p = CTCInferenceParams()
+    knobs = load_recipe(os.path.join(repo, "configs", "recommended.json"),
+                        known=set(vars(p)))
+    assert "_comment" not in knobs and "class_weights" not in knobs
+    p.override(**knobs)
+    assert p.cell_thresh == 0.55 and p.size_filter == "post"
+    assert p.instance_split is True and p.split_method == "prob"
+
+    # calibrate_recipe.py output format: the "winner" dict is unwrapped,
+    # "fov" aliases FOV, instance_split implies the prob splitter
+    calib = {"val_best": 0.9, "winner": {
+        "cell_thresh": 0.6, "edge_thresh": 0.25, "min_cell_size": 50,
+        "grow_iters": 0, "size_filter": "pre", "fov": 3,
+        "instance_split": True, "split_hi_thresh": 0.75,
+        "split_erode": 2, "split_min_size": 2500}}
+    f = tmp_path / "recipe_calibration.json"
+    f.write_text(json.dumps(calib))
+    r = load_recipe(str(f))
+    assert r["FOV"] == 3 and "fov" not in r
+    assert r["split_method"] == "prob"
+    assert r["cell_thresh"] == 0.6
+
+
+def test_load_recipe_train_keys_filtered_for_inference(tmp_path):
+    from lstm_unet_tpu.config import CTCInferenceParams, load_recipe
+
+    f = tmp_path / "r.json"
+    f.write_text(json.dumps({"class_weights": [0.1, 0.25, 0.65],
+                             "cell_thresh": 0.55}))
+    p = CTCInferenceParams()
+    knobs = load_recipe(str(f), known=set(vars(p)))
+    assert knobs == {"cell_thresh": 0.55}  # training key dropped
+    # unfiltered: lists become tuples (CTCParams.class_weights contract)
+    assert load_recipe(str(f))["class_weights"] == (0.1, 0.25, 0.65)
+
+
+def test_parsers_accept_recipe_and_watchdog_flags():
+    args = infer_parser().parse_args([
+        "--model_path", "m", "--sequence_path", "s", "--output_path", "o",
+        "--recipe", "configs/recommended.json", "--watchdog_secs", "600"])
+    assert args.recipe == "configs/recommended.json"
+    assert args.watchdog_secs == 600.0
+    targs = train_parser().parse_args(["--recipe", "x.json"])
+    assert targs.recipe == "x.json"
+
+
+def test_resolve_model_dir_accepts_run_dir(tmp_path):
+    # the chip pipeline passes the RUN dir; model_params.json lives under
+    # <run>/ckpt (Trainer layout) — both must resolve to the same place
+    from lstm_unet_tpu.checkpoint import resolve_model_dir
+
+    run = tmp_path / "v3bw_x"
+    ckpt = run / "ckpt"
+    ckpt.mkdir(parents=True)
+    (ckpt / "model_params.json").write_text("{}")
+    assert resolve_model_dir(str(run)) == str(ckpt)
+    assert resolve_model_dir(str(ckpt)) == str(ckpt)
+    # unknown dirs come back unchanged (error messages stay honest)
+    assert resolve_model_dir(str(tmp_path / "nope")) == str(tmp_path / "nope")

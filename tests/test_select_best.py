@@ -1,0 +1,135 @@
+"""Checkpoint-selection pipeline stage (scripts/select_best.py).
+
+Round-3 lesson this stage encodes: single-sequence val/seg rank-inverted
+against held-out SEG twice (VERDICT r3 weak 5), so selection ranks the last
+saves on >=2 val sequences, soups the best two, and only CONFIRMS on eval.
+These tests exercise ranking / soup / prune / durable-artifact logic with a
+stubbed chip sweep (no TPU, no subprocess).
+"""
+
+import importlib.util
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_module():
+    spec = importlib.util.spec_from_file_location(
+        "select_best", os.path.join(REPO, "scripts", "select_best.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_seg_line_parse_regex():
+    sb = _load_module()
+    out = ("[2026-08-18 12:00:00] SEG runs/heldout/train/Synth-N2DH-SIM/03: "
+           "0.9135 (40 annotated frames)\n"
+           "[2026-08-18 12:00:01] SEG runs/heldout/train/Synth-N2DH-SIM/10: "
+           "0.8990 (100 annotated frames)\n")
+    scores = {m.group(1): float(m.group(2)) for m in sb.SEG_RE.finditer(out)}
+    assert scores == {"runs/heldout/train/Synth-N2DH-SIM/03:"[:-1]: 0.9135,
+                      "runs/heldout/train/Synth-N2DH-SIM/10:"[:-1]: 0.8990}
+
+
+def _fake_run(tmp_path, make_ckpt_steps=(6500, 7000, 7500, 8000)):
+    """A fake training run dir with real (tiny) orbax checkpoints."""
+    from lstm_unet_tpu.checkpoint import CheckpointManager, save_model_params
+
+    run = tmp_path / "v3bw_fake"
+    ckpt = run / "ckpt"
+    ckpt.mkdir(parents=True)
+    save_model_params(str(ckpt), {"model_config": {}})
+    mgr = CheckpointManager(str(ckpt))
+    for i, s in enumerate(make_ckpt_steps):
+        params = {"w": np.full((2, 2), float(i), np.float32)}
+        mgr.save(s, params, {"count": np.int32(i)})
+    mgr.wait()
+    mgr.close()
+    return run
+
+
+def test_select_best_ranks_soups_prunes(tmp_path, monkeypatch):
+    sb = _load_module()
+    run = _fake_run(tmp_path)
+    data = tmp_path / "heldout"
+    (data / "train").mkdir(parents=True)
+    (data / "eval").mkdir()
+    recipe = tmp_path / "recipe.json"
+    recipe.write_text(json.dumps({"cell_thresh": 0.55}))
+    best_dir = tmp_path / "best"
+    out_json = tmp_path / "select_best.json"
+
+    # val means rank-invert vs step order on purpose: 7000 > 8000 > 7500
+    # > 6500 — best two must be {7000, 8000}
+    val_mean = {6500: 0.88, 7000: 0.93, 7500: 0.89, 8000: 0.91}
+    calls = []
+
+    def fake_sweep(model_path, data_root, output_root, recipe_arg,
+                   seqs="", ckpt_step=0, dtype="", calibrate=0, timeout=0):
+        calls.append((model_path, os.path.basename(data_root), ckpt_step,
+                      dtype, calibrate))
+        if ckpt_step:  # ranking pass on val
+            m = val_mean[ckpt_step]
+            return {"val/03": m + 0.01, "val/10": m - 0.01}
+        return {"eval/01": 0.92, "eval/02": 0.91, "eval/03": 0.93}
+
+    monkeypatch.setattr(sb, "run_sweep", fake_sweep)
+    monkeypatch.setattr(sys, "argv", [
+        "select_best.py", "--model_path", str(run), "--data_root", str(data),
+        "--val_seqs", "03,10", "--recipe", str(recipe),
+        "--best_dir", str(best_dir), "--prune", "--skip_int8",
+        "--out", str(out_json)])
+    sb.main()
+
+    s = json.loads(out_json.read_text())
+    assert s["soup_steps"] == [7000, 8000]
+    assert [r["step"] for r in s["val_ranking"]] == [7000, 8000, 7500, 6500]
+    assert s["eval_soup_mean"] == 0.92
+
+    # durable artifact: standalone model dir loadable by the inference path
+    assert os.path.exists(os.path.join(best_dir, "model_params.json"))
+    assert os.path.exists(os.path.join(best_dir, "recipe.json"))
+    prov = json.load(open(os.path.join(best_dir, "provenance.json")))
+    assert prov["soup_steps"] == [7000, 8000]
+    # the soup is the UNIFORM AVERAGE of steps 7000 (value 1.0) and 8000
+    # (value 3.0) -> 2.0
+    import orbax.checkpoint as ocp
+
+    from lstm_unet_tpu.checkpoint import CheckpointManager
+    mgr = CheckpointManager(str(best_dir))
+    restored = mgr._mgr.restore(
+        mgr.latest_step(),
+        args=ocp.args.Composite(params=ocp.args.StandardRestore()))
+    mgr.close()
+    assert np.allclose(np.asarray(restored["params"]["w"]), 2.0)
+
+    # prune keeps soup constituents + latest (here the same set) and drops
+    # the rest
+    left = sorted(int(d) for d in os.listdir(run / "ckpt") if d.isdigit())
+    assert left == [7000, 8000]
+
+    # eval was only ever swept with the SOUP (ckpt_step 0), never ranked
+    eval_calls = [c for c in calls if c[1] == "eval"]
+    assert all(c[2] == 0 for c in eval_calls) and len(eval_calls) == 1
+
+
+def test_select_best_no_scores_fails_loud(tmp_path, monkeypatch):
+    sb = _load_module()
+    run = _fake_run(tmp_path, make_ckpt_steps=(500,))
+    data = tmp_path / "heldout"
+    (data / "train").mkdir(parents=True)
+    monkeypatch.setattr(sb, "run_sweep", lambda *a, **k: {})
+    monkeypatch.setattr(sys, "argv", [
+        "select_best.py", "--model_path", str(run), "--data_root", str(data)])
+    with pytest.raises(RuntimeError, match="no SEG scores"):
+        sb.main()
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-x", "-q"])
