@@ -73,6 +73,30 @@ HELDOUT = [
     ("03", 103, 45, 1.2, 40, 0.0),
 ]
 
+# Non-square rehearsal geometry (chip_pipeline stage 7): Fluo-N2DH-SIM+ is
+# 690 wide x 628 high uint16 — exercises odd-height matmul-relabel padding,
+# pad-to-16 crop-back, and FOV at original size on hardware. eval/ gets the
+# three held-out configs at this geometry; agree/ one short sequence for the
+# chip-bf16 vs CPU-f32 mask-agreement check (CPU f32 at 40 frames is slow).
+NS_H, NS_W = 628, 690
+NS_EVAL = [
+    ("01", 201, 20, 0.8, 40, 0.0),
+    ("02", 202, 35, 1.0, 40, 0.0),
+    ("03", 203, 45, 1.2, 40, 0.0),
+]
+NS_AGREE = [("01", 211, 30, 1.0, 8, 0.3)]
+
+
+def gen_ns(root: str) -> None:
+    for sub, cfgs in (("eval", NS_EVAL), ("agree", NS_AGREE)):
+        for seq, seed, n, rs, frames, ov in cfgs:
+            write_ctc_dataset(os.path.join(root, sub), dataset=DATASET,
+                              seq=seq, num_frames=frames, height=NS_H,
+                              width=NS_W, num_cells=n, seed=seed,
+                              radius_scale=rs, overlap_frac=ov)
+            print(f"{sub}/{DATASET}/{seq}: seed={seed} cells={n} rs={rs} "
+                  f"T={frames} ov={ov} {NS_H}x{NS_W}")
+
 
 def gen(root: str, v4: bool = False) -> None:
     train = (TRAIN + [t[:6] for t in TRAIN_V4]) if v4 else TRAIN
@@ -101,9 +125,14 @@ def main() -> None:
     g.add_argument("--v4", action="store_true",
                    help="also write the v4 occlusion-hardness sequences "
                         "(10-12); 01-09 and eval are bit-identical either way")
+    n = sub.add_parser("gen_ns", help="non-square 628x690 rehearsal data "
+                                      "(chip_pipeline stage 7)")
+    n.add_argument("--root", type=str, required=True)
     args = ap.parse_args()
     if args.cmd == "gen":
         gen(args.root, v4=args.v4)
+    elif args.cmd == "gen_ns":
+        gen_ns(args.root)
 
 
 if __name__ == "__main__":
