@@ -38,7 +38,8 @@ CPU_BASELINE_FPS = 0.0297
 
 def build_pipeline(size: int, dtype: str, tiny: bool, fused_cell: bool = False,
                    calibrated: bool = False, ccl_method: str = "sweep",
-                   batch: int = 1, entry_layouts: bool = False):
+                   batch: int = 1, entry_layouts: bool = False,
+                   int8_keep_float: str = ""):
     from lstm_unet_tpu.config import default_net_kernel_params, tiny_net_kernel_params
     from lstm_unet_tpu.models import ModelConfig, ULSTMnet2D
     from lstm_unet_tpu.ops.postprocess import postprocess_frame
@@ -94,7 +95,10 @@ def build_pipeline(size: int, dtype: str, tiny: bool, fused_cell: bool = False,
                                          width=size, num_cells=40, seed=7)
             act_scales = calibrate_act_scales(
                 params, cfg, [f.astype(np.float32) for f in imgs])
-        params = quantize_params_int8(params, act_scales)
+        params = quantize_params_int8(
+            params, act_scales,
+            keep_float=[s for s in int8_keep_float.split(",") if s.strip()],
+            float_dtype=cfg.compute_dtype)
     else:
         from lstm_unet_tpu.models.ulstm_unet import cast_params_for_inference
 
@@ -328,6 +332,9 @@ def main():
                     help="int8 conv lowering A/B: XLA conv (blocked layouts"
                          " + re-tiling copies) vs shifted-tap dot_general "
                          "(bit-identical, ops/quant.py::_conv_int8)")
+    ap.add_argument("--int8_keep_float", type=str, default="",
+                    help="mixed-precision int8: comma-separated site "
+                         "prefixes kept bf16 (e.g. 'encoder/0')")
     ap.add_argument("--batch", type=int, default=1,
                     help="concurrent independent streams on the chip "
                          "(serving config); value = AGGREGATE frames/sec")
@@ -383,7 +390,8 @@ def run_bench(args):
 
     step, state = build_pipeline(args.size, args.dtype, args.tiny,
                                  args.fused_cell, args.calibrated, args.ccl,
-                                 args.batch, args.entry_layouts)
+                                 args.batch, args.entry_layouts,
+                                 args.int8_keep_float)
     frames = make_frames(min(args.frames, 16), args.size, args.batch)
     dev_frames = [jax.device_put(jnp.asarray(f)) for f in frames]
 

@@ -84,6 +84,9 @@ def main(argv=None) -> None:
     ap.add_argument("--split_erode", type=int, default=1)
     ap.add_argument("--pre_sequence_frames", type=int, default=4)
     ap.add_argument("--dtype", type=str, default="bfloat16")
+    ap.add_argument("--int8_keep_float", type=str, default="",
+                    help="comma-separated site prefixes kept bf16 inside an "
+                         "int8 run (mixed precision, e.g. 'encoder/0')")
     ap.add_argument("--state_dtype", type=str, default="auto",
                     choices=["auto", "float32", "bfloat16"])
     ap.add_argument("--fused_cell", action="store_true",
@@ -166,6 +169,7 @@ def main(argv=None) -> None:
         save_intermediate=args.save_intermediate,
         dtype=args.dtype, state_dtype=args.state_dtype,
         fused_cell=args.fused_cell, reset_on_jump=args.reset_on_jump,
+        int8_keep_float=args.int8_keep_float,
         ckpt_step=args.ckpt_step)
     params, cfg = load_model(args.model_path, dtype=args.dtype,
                              state_dtype=args.state_dtype,

@@ -66,6 +66,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--pre_sequence_frames", type=int)
     ap.add_argument("--save_intermediate", action="store_true", default=None)
     ap.add_argument("--save_intermediate_path", type=str)
+    ap.add_argument("--int8_keep_float", type=str, default=None,
+                    help="comma-separated site prefixes kept bf16 inside an "
+                         "int8 run (mixed precision, e.g. 'encoder/0')")
     ap.add_argument("--dtype", type=str,
                     choices=["float32", "bfloat16", "int8"])
     ap.add_argument("--state_dtype", type=str,

@@ -412,6 +412,13 @@ class CTCInferenceParams(ParamsBase):
     # conv lowering selection, same contract as CTCParams.conv_method;
     # int8 runs use the (bit-identical) int8 twin in ops/quant.py
     conv_method: str = "conv"
+    # Mixed-precision int8 serving: comma-separated site-name prefixes
+    # (models/ulstm_unet.py collect_scales keys, e.g. "encoder/0" or
+    # "encoder/0/lstm,decoder/0") whose convs/cells stay bf16 inside an
+    # otherwise-int8 tree (ops/quant.py::quantize_params_int8 keep_float).
+    # A/B knob at the measured ~8 ms/frame of blocked-int8-conv layout
+    # copies, which concentrate at the large-spatial levels (BASELINE.md).
+    int8_keep_float: str = ""
     # auto-reset the LSTM state when the mean abs difference between
     # consecutive normalized frames exceeds this (0 = off, reference
     # behavior: state is never reset). Motivated by the carry-drift stress

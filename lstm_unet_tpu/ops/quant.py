@@ -175,8 +175,31 @@ def _quantize_lstm_dict(cell: Dict[str, jax.Array],
     return out
 
 
+def _cast_float_site(node: Dict, dtype) -> Dict:
+    """Float conv/cell dict pre-cast to the compute dtype (ln_* stays f32 —
+    same rule as models/ulstm_unet.py::cast_params_for_inference)."""
+    if dtype is None:
+        return node
+    return {k: (v if k.startswith("ln_")
+                or not (hasattr(v, "dtype")
+                        and jnp.issubdtype(v.dtype, jnp.floating))
+                else v.astype(dtype))
+            for k, v in node.items()}
+
+
+def _site_kept(site: str, keep_float) -> bool:
+    """True when ``site`` matches a keep-float prefix ('encoder/0' matches
+    encoder/0/... but not encoder/01/...)."""
+    for p in keep_float:
+        p = p.strip().strip("/")
+        if p and (site == p or site.startswith(p + "/")):
+            return True
+    return False
+
+
 def quantize_params_int8(params: Dict,
-                         act_scales: Optional[Dict[str, float]] = None) -> Dict:
+                         act_scales: Optional[Dict[str, float]] = None,
+                         keep_float=(), float_dtype=None) -> Dict:
     """ULSTMnet2D param tree (f32/bf16) -> int8 inference tree.
 
     Mirrors the model structure from models/ulstm_unet.py::ULSTMnet2D.init:
@@ -188,22 +211,37 @@ def quantize_params_int8(params: Dict,
     present sites get static ``x_scale`` entries (the dynamic per-frame
     abs-max reduction pass — one full HBM read of every conv input —
     disappears from the compiled step). Missing sites stay dynamic.
+
+    ``keep_float``: site-name prefixes (e.g. ``("encoder/0", "head")``)
+    whose conv/cell dicts stay FLOAT (cast to ``float_dtype``) — the model
+    dispatches per site on the presence of ``kernel_q``, so int8 and float
+    convs mix freely in one tree. Mixed-precision serving A/B: the r2 trace
+    charged the residual ~8 ms/frame of layout copies to the blocked int8
+    conv layouts at the large-spatial levels; keeping those levels bf16
+    trades copy time against MXU/HBM headroom (BASELINE.md).
     """
+    def conv(c, site):
+        return (_cast_float_site(c, float_dtype)
+                if _site_kept(site, keep_float)
+                else _quantize_conv_dict(c, act_scales, site))
+
+    def cell(c, site):
+        return (_cast_float_site(c, float_dtype)
+                if _site_kept(site, keep_float)
+                else _quantize_lstm_dict(c, act_scales, site))
+
     return {
         "encoder": [
-            {"lstm": [_quantize_lstm_dict(c, act_scales,
-                                          f"encoder/{i}/lstm/{j}")
+            {"lstm": [cell(c, f"encoder/{i}/lstm/{j}")
                       for j, c in enumerate(lvl["lstm"])],
-             "convs": [_quantize_conv_dict(c, act_scales,
-                                           f"encoder/{i}/convs/{j}")
+             "convs": [conv(c, f"encoder/{i}/convs/{j}")
                        for j, c in enumerate(lvl["convs"])]}
             for i, lvl in enumerate(params["encoder"])
         ],
         "decoder": [
-            {"convs": [_quantize_conv_dict(c, act_scales,
-                                           f"decoder/{i}/convs/{j}")
+            {"convs": [conv(c, f"decoder/{i}/convs/{j}")
                        for j, c in enumerate(lvl["convs"])]}
             for i, lvl in enumerate(params["decoder"])
         ],
-        "head": _quantize_conv_dict(params["head"], act_scales, "head"),
+        "head": conv(params["head"], "head"),
     }

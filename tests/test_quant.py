@@ -245,3 +245,40 @@ def test_int8_dots_lowering_bit_identical(rng, monkeypatch):
         monkeypatch.setattr(quant, "INT8_DOTS_MIN_HW", 1)
         y_dots = np.asarray(conv2d_q(x, qconv))
         np.testing.assert_array_equal(y_conv, y_dots)
+
+
+def test_keep_float_mixed_tree():
+    """keep_float prefixes stay float (per-site dispatch on kernel_q), the
+    rest quantize; the mixed step runs and sits between f32 and full-int8
+    in accuracy ordering is NOT asserted (not guaranteed pointwise) — only
+    closeness to f32 and structural correctness are."""
+    cfg32 = ModelConfig.make(tiny_net_kernel_params())
+    cfg8 = ModelConfig.make(tiny_net_kernel_params(), quant="int8")
+    params = ULSTMnet2D.init(jax.random.PRNGKey(1), cfg32)
+    mixed = quantize_params_int8(
+        params, keep_float=("encoder/0", "head"),
+        float_dtype=jnp.bfloat16)
+    # structure: encoder level 0 + head stay float, everything else int8
+    assert "kernel_x" in mixed["encoder"][0]["lstm"][0]
+    assert "kernel" in mixed["encoder"][0]["convs"][0]
+    assert mixed["encoder"][0]["convs"][0]["kernel"].dtype == jnp.bfloat16
+    assert "kernel" in mixed["head"] and "kernel_q" not in mixed["head"]
+    assert "kernel_x_q" in mixed["encoder"][1]["lstm"][0]
+    assert "kernel_q" in mixed["decoder"][0]["convs"][0]
+    # prefix matching is path-segment aware: 'encoder/0' must not keep a
+    # hypothetical 'encoder/01...' (guard the startswith boundary)
+    from lstm_unet_tpu.ops.quant import _site_kept
+    assert _site_kept("encoder/0/convs/1", ("encoder/0",))
+    assert not _site_kept("encoder/01/convs/1", ("encoder/0",))
+    # the mixed tree runs through the int8-config step and stays close to f32
+    state = ULSTMnet2D.init_state(cfg32, 1, 16, 16)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 16, 1))
+    _, logits32 = ULSTMnet2D.step(params, state, x, cfg32)
+    _, logits_mixed = ULSTMnet2D.step(mixed, state, x, cfg8)
+    denom = max(float(jnp.abs(logits32).max()), 1e-6)
+    rel = float(jnp.abs(logits_mixed - logits32).max()) / denom
+    assert rel < 0.15, rel
+    # keep_float=() with float_dtype stays a pure-int8 tree (no regression)
+    full = quantize_params_int8(params, keep_float=(),
+                                float_dtype=jnp.bfloat16)
+    assert "kernel_q" in full["head"]
