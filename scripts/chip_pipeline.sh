@@ -90,6 +90,12 @@ sleep 20  # let the tunnel release the chip between processes
 stage 1a_int8_batch2 timeout 900 python bench.py --no-train_too --batch 2
 stage 1b_int8_batch4 timeout 900 python bench.py --no-train_too --batch 4
 stage 1c_int8_batch1 timeout 900 python bench.py --no-train_too
+# Mixed-precision A/B (TODO r4 #2): keep the blocked-int8-conv layout
+# copies' host levels bf16 — encoder/0 alone, then encoder/0+1.
+stage 1d_int8_keepf_e0 timeout 900 python bench.py --no-train_too \
+  --int8_keep_float encoder/0
+stage 1e_int8_keepf_e01 timeout 900 python bench.py --no-train_too \
+  --int8_keep_float encoder/0,encoder/1
 
 # --- M. training-step A/B: parity B5, throughput B8, adam_mu bf16 ---------
 # (VERDICT r3 #6 + ADVICE r3 low: record BOTH the B5 parity and B8
