@@ -143,9 +143,18 @@ def make_frames(n: int, size: int, batch: int = 1) -> np.ndarray:
     return frames
 
 
+# Per-chip peak for MFU accounting: TPU v5e (the bench chip) does 197
+# TFLOP/s dense bf16 on the MXU (public spec). MFU below is
+# HLO-counted flops (cost_analysis, i.e. INCLUDING remat recompute)
+# per step over step-time x peak — the honest "of what the MXU could
+# have done, how much did we do" number.
+V5E_PEAK_BF16_FLOPS = 197e12
+
+
 def bench_train(size: int, dtype: str, tiny: bool, steps: int = 10,
                 emit: bool = True, remat="full", B: int = 5, T: int = 7,
-                entry_layouts: bool = False, adam_mu_dtype: str = "float32"):
+                entry_layouts: bool = False, adam_mu_dtype: str = "float32",
+                mfu: bool = False):
     """Training-step throughput (B5/T7 reference config, remat BPTT).
 
     With ``emit`` prints its own JSON line (--mode train); the default
@@ -185,16 +194,37 @@ def bench_train(size: int, dtype: str, tiny: bool, steps: int = 10,
     float(m["loss"])
     dt = time.perf_counter() - t0
     fps = steps * B * T / dt
+    out = {
+        "metric": f"training frames/sec/chip @ {size}x{size} B{B} T{T} "
+                  f"(flagship ULSTMnet2D, {dtype}, remat={remat} BPTT"
+                  + (f", mu={adam_mu_dtype}" if adam_mu_dtype != "float32"
+                     else "") + ")",
+        "value": round(fps, 3),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / CPU_BASELINE_FPS, 3),
+    }
+    if mfu:
+        # HLO-counted flops of the EXECUTED program (includes remat
+        # recompute) over measured step time x v5e bf16 peak. Abstract
+        # .lower() avoids touching the donated live buffers; this is a
+        # second compile (~30 s remote) so it is opt-in (--mfu).
+        try:
+            sds = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                (params, opt_state, state, img, seg, ones, ones, last))
+            ca = step.lower(*sds).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float(ca.get("flops", 0.0)) if ca else 0.0
+            if flops > 0:
+                step_s = dt / steps
+                out["train_flops_per_step"] = flops
+                out["train_mfu"] = round(
+                    flops / step_s / V5E_PEAK_BF16_FLOPS, 4)
+        except Exception as e:  # cost_analysis is best-effort diagnostics
+            out["train_mfu_error"] = str(e)[:200]
     if emit:
-        print(json.dumps({
-            "metric": f"training frames/sec/chip @ {size}x{size} B{B} T{T} "
-                      f"(flagship ULSTMnet2D, {dtype}, remat={remat} BPTT"
-                      + (f", mu={adam_mu_dtype}" if adam_mu_dtype != "float32"
-                         else "") + ")",
-            "value": round(fps, 3),
-            "unit": "frames/sec/chip",
-            "vs_baseline": round(fps / CPU_BASELINE_FPS, 3),
-        }))
+        print(json.dumps(out))
     return fps, f"{size}x{size} B{B} T{T} {dtype} remat"
 
 
@@ -324,6 +354,9 @@ def main():
                     choices=["float32", "bfloat16"],
                     help="Adam first-moment storage dtype A/B (bf16 halves "
                          "mu bytes + per-step copy traffic)")
+    ap.add_argument("--mfu", action="store_true",
+                    help="train mode: also report HLO flops/step and MFU vs "
+                         "the v5e bf16 peak (costs a second compile)")
     ap.add_argument("--ccl", type=str, default="sweep",
                     choices=["sweep", "scan"],
                     help="CCL variant for the fused A/B (bit-identical)")
@@ -385,7 +418,7 @@ def run_bench(args):
                     args.tiny, remat=args.remat_policy,
                     B=args.train_batch, T=args.train_unroll,
                     entry_layouts=args.entry_layouts,
-                    adam_mu_dtype=args.adam_mu_dtype)
+                    adam_mu_dtype=args.adam_mu_dtype, mfu=args.mfu)
         return
 
     step, state = build_pipeline(args.size, args.dtype, args.tiny,

@@ -102,8 +102,8 @@ stage 1e_int8_keepf_e01 timeout 900 python bench.py --no-train_too \
 # throughput denominators each round, and chip-measure adam_mu=bfloat16,
 # which targets the measured 256 ms/step copy/pad bucket of BPTT)
 stage Ma_train_B5_parity timeout 900 python bench.py --mode train --train_batch 5
-stage Mb_train_B8_muf32 timeout 900 python bench.py --mode train
-stage Mc_train_B8_mubf16 timeout 900 python bench.py --mode train --adam_mu_dtype bfloat16
+stage Mb_train_B8_muf32 timeout 1200 python bench.py --mode train --mfu
+stage Mc_train_B8_mubf16 timeout 1200 python bench.py --mode train --adam_mu_dtype bfloat16 --mfu
 
 # --- 2. prob dumps (VAL + eval) + shipped-defaults scores ----------------
 stage 2a_val_dump timeout 1800 python -m lstm_unet_tpu.cli.ctc_sweep \
