@@ -469,6 +469,18 @@ def run_bench(args):
             out["train_value"] = round(tfps, 3)
             out["train_unit"] = "frames/sec/chip"
             out["train_config"] = tcfg
+            if args.train_batch != 5:
+                # ALSO record the B5 reference-parity denominator so
+                # BENCH_r*.json stays longitudinally comparable across the
+                # B5->B8 default change (ADVICE r3): train_value is the
+                # throughput config, train_parity_value the parity config.
+                pfps, pcfg = bench_train(
+                    256 if args.size == 512 else args.size,
+                    "bfloat16" if args.dtype == "int8" else args.dtype,
+                    args.tiny, steps=6, emit=False, remat=args.remat_policy,
+                    B=5, T=args.train_unroll)
+                out["train_parity_value"] = round(pfps, 3)
+                out["train_parity_config"] = pcfg
         except Exception as e:  # the headline metric survives
             out["train_error"] = str(e)[:200]
     print(json.dumps(out))
