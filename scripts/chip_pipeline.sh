@@ -221,4 +221,14 @@ else
   echo "=== 7: $NSDATA missing — run the non-square datagen first"
 fi
 
+# --- 8. DIAGNOSTIC tail: val-vs-eval rank agreement (VERDICT r3 task 7) ---
+# Lowest priority (runs only if the round's chip budget allows): re-invokes
+# select_best with --eval_rank; the val sweeps + soup evals are cached from
+# stage 5 (seg_scores.json per work dir), so this costs ONLY the per-step
+# eval sweeps. Selection itself never uses these scores.
+stage 8_eval_rank timeout 7200 python scripts/select_best.py \
+  --model_path "$MODEL" --data_root "$DATA" --val_seqs 03,10 \
+  --recipe "$RECIPE" --best_dir "$SAVE/best" --eval_rank \
+  --out "$OUT/select_best_evalrank.json"
+
 echo "=== PIPELINE (all stages) COMPLETE $(date)"

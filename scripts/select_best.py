@@ -45,7 +45,19 @@ def run_sweep(model_path: str, data_root: str, output_root: str,
               recipe: str, seqs: str = "", ckpt_step: int = 0,
               dtype: str = "", calibrate: int = 0,
               timeout: int = 2700) -> dict:
-    """One ctc_sweep subprocess; returns {seq_dir: SEG} parsed from its log."""
+    """One ctc_sweep subprocess; returns {seq_dir: SEG} parsed from its log.
+
+    Scores are cached in <output_root>/seg_scores.json: rerunning after a
+    preemption (bench.py evicts the chip lease mid-stage) skips sweeps that
+    already completed instead of paying ~15 min of chip time each again.
+    """
+    cache = os.path.join(output_root, "seg_scores.json")
+    if os.path.exists(cache):
+        with open(cache) as f:
+            cached = json.load(f)
+        if cached:
+            print(f"select_best: cached scores for {output_root}", flush=True)
+            return cached
     cmd = [sys.executable, "-m", "lstm_unet_tpu.cli.ctc_sweep",
            "--model_path", model_path, "--root_data_dir", data_root,
            "--output_root", output_root, "--score_seg",
@@ -65,8 +77,30 @@ def run_sweep(model_path: str, data_root: str, output_root: str,
     sys.stderr.write(r.stdout[-2000:] + r.stderr[-1000:])
     if r.returncode != 0:
         raise RuntimeError(f"ctc_sweep rc={r.returncode}: {' '.join(cmd)}")
-    return {m.group(1): float(m.group(2))
-            for m in SEG_RE.finditer(r.stdout)}
+    scores = {m.group(1): float(m.group(2))
+              for m in SEG_RE.finditer(r.stdout)}
+    if scores:
+        os.makedirs(output_root, exist_ok=True)
+        with open(cache, "w") as f:
+            json.dump(scores, f)
+    return scores
+
+
+def kendall_tau(pairs):
+    """Kendall tau-a between two paired score lists.
+
+    ``pairs`` = [(a_i, b_i), ...]; returns (tau, concordant, discordant).
+    Ties count as neither. +1 = identical ordering, -1 = fully inverted —
+    the round-3 val-rank inversions would have shown tau <= 0 here.
+    """
+    conc = disc = 0
+    n = len(pairs)
+    for i in range(n):
+        for j in range(i + 1, n):
+            s = (pairs[i][0] - pairs[j][0]) * (pairs[i][1] - pairs[j][1])
+            conc += s > 0
+            disc += s < 0
+    return (conc - disc) / max(conc + disc, 1), conc, disc
 
 
 def main() -> None:
@@ -94,6 +128,14 @@ def main() -> None:
     ap.add_argument("--skip_int8", action="store_true",
                     help="skip the int8 calibration + parity confirm on the "
                          "soup")
+    ap.add_argument("--eval_rank", action="store_true",
+                    help="DIAGNOSTIC: also score every ranked step on eval/ "
+                         "and log the val-vs-eval rank agreement (Kendall "
+                         "tau). Selection never uses these scores (the soup "
+                         "is chosen before they exist) but the agreement "
+                         "number quantifies how trustworthy val ranking is "
+                         "(it rank-inverted twice in round 3). Costs one "
+                         "eval sweep per ranked step (~15 min each on v5e).")
     ap.add_argument("--work_dir", default="",
                     help="where sweep masks land (default "
                          "<model_path>/select_best_work)")
@@ -129,6 +171,23 @@ def main() -> None:
 
     summary = {"val_ranking": ranking, "soup_steps": best_two}
 
+    # --- diagnostic: val-vs-eval rank agreement (soup already chosen) ------
+    if args.eval_rank:
+        for r in ranking:
+            es = run_sweep(args.model_path,
+                           os.path.join(args.data_root, "eval"),
+                           os.path.join(work, f"evalrank_{r['step']}"),
+                           args.recipe, ckpt_step=r["step"])
+            r["eval_mean"] = round(sum(es.values()) / max(len(es), 1), 4)
+            print(f"select_best: step {r['step']} eval mean "
+                  f"{r['eval_mean']:.4f} (val {r['val_mean']:.4f})",
+                  flush=True)
+        tau, conc, disc = kendall_tau(
+            [(r["val_mean"], r["eval_mean"]) for r in ranking])
+        summary["rank_agreement_tau"] = round(tau, 3)
+        print(f"select_best: val-vs-eval Kendall tau = {tau:+.3f} "
+              f"({conc} concordant / {disc} discordant pairs)", flush=True)
+
     # --- soup + durable artifact ------------------------------------------
     if args.best_dir:
         if os.path.isdir(args.best_dir):
@@ -147,9 +206,11 @@ def main() -> None:
                        "val_ranking": ranking}, f, indent=1)
 
         # confirm ONCE on eval (pre-registered winner — no eval ranking)
+        soup_tag = "_".join(map(str, best_two))  # cache key tracks the soup
         eval_scores = run_sweep(args.best_dir,
                                 os.path.join(args.data_root, "eval"),
-                                os.path.join(work, "eval_soup"), args.recipe)
+                                os.path.join(work, f"eval_soup_{soup_tag}"),
+                                args.recipe)
         summary["eval_soup_mean"] = round(
             sum(eval_scores.values()) / max(len(eval_scores), 1), 4)
         summary["eval_soup_per_seq"] = {
@@ -161,10 +222,18 @@ def main() -> None:
             # int8 gate on the soup; --calibrate also writes provenance-
             # stamped act_scales.json INTO best_dir (soups must recalibrate:
             # averaged weights shift activation ranges)
-            int8_scores = run_sweep(args.best_dir,
-                                    os.path.join(args.data_root, "eval"),
-                                    os.path.join(work, "eval_soup_int8"),
-                                    args.recipe, dtype="int8", calibrate=16)
+            int8_work = os.path.join(work, f"eval_soup_{soup_tag}_int8")
+            if not os.path.exists(os.path.join(args.best_dir,
+                                               "act_scales.json")):
+                # best_dir was just regenerated: the cached int8 sweep would
+                # skip the --calibrate side effect that writes
+                # act_scales.json INTO best_dir — force a fresh run
+                cache = os.path.join(int8_work, "seg_scores.json")
+                if os.path.exists(cache):
+                    os.remove(cache)
+            int8_scores = run_sweep(
+                args.best_dir, os.path.join(args.data_root, "eval"),
+                int8_work, args.recipe, dtype="int8", calibrate=16)
             summary["eval_soup_int8_mean"] = round(
                 sum(int8_scores.values()) / max(len(int8_scores), 1), 4)
             summary["eval_soup_int8_per_seq"] = {

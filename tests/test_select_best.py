@@ -133,3 +133,28 @@ def test_select_best_no_scores_fails_loud(tmp_path, monkeypatch):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+def test_kendall_tau_orderings():
+    sb = _load_module()
+    # identical ordering
+    tau, c, d = sb.kendall_tau([(1, 10), (2, 20), (3, 30)])
+    assert (tau, c, d) == (1.0, 3, 0)
+    # fully inverted (the round-3 val-rank-inversion signature)
+    tau, c, d = sb.kendall_tau([(1, 30), (2, 20), (3, 10)])
+    assert (tau, c, d) == (-1.0, 0, 3)
+    # ties contribute to neither side
+    tau, c, d = sb.kendall_tau([(1, 10), (1, 20), (2, 30)])
+    assert c == 2 and d == 0 and tau == 1.0
+
+
+def test_run_sweep_score_cache(tmp_path):
+    sb = _load_module()
+    out_root = tmp_path / "val_8000"
+    out_root.mkdir()
+    cached = {"runs/heldout/train/Synth-N2DH-SIM/03": 0.91}
+    (out_root / "seg_scores.json").write_text(json.dumps(cached))
+    # the command would fail instantly if executed — the cache must win
+    scores = sb.run_sweep("/nonexistent/model", "/nonexistent/data",
+                          str(out_root), recipe="")
+    assert scores == cached
