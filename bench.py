@@ -95,10 +95,9 @@ def build_pipeline(size: int, dtype: str, tiny: bool, fused_cell: bool = False,
                                          width=size, num_cells=40, seed=7)
             act_scales = calibrate_act_scales(
                 params, cfg, [f.astype(np.float32) for f in imgs])
-        params = quantize_params_int8(
-            params, act_scales,
-            keep_float=[s for s in int8_keep_float.split(",") if s.strip()],
-            float_dtype=cfg.compute_dtype)
+        params = quantize_params_int8(params, act_scales,
+                                      keep_float=int8_keep_float,
+                                      float_dtype=cfg.compute_dtype)
     else:
         from lstm_unet_tpu.models.ulstm_unet import cast_params_for_inference
 
@@ -290,7 +289,16 @@ def preempt_chip_lease(timeout_s: int = 150) -> None:
         return
     try:
         if os.getsid(pgid) == os.getsid(0):
-            return  # the lease holder is an ancestor in our own session
+            # The lease holder shares our session — a bench launched from
+            # inside the pipeline must not evict it. Say so loudly: if the
+            # pipeline was launched WITHOUT setsid from this same terminal,
+            # this skip means bench and the lease holder will CONTEND for
+            # the single-user chip (launch the pipeline per its header:
+            # `setsid nohup bash scripts/chip_pipeline.sh ...`).
+            print(f"bench: lease holder pgid={pgid} is in our own session "
+                  "— not preempting (LSTM_UNET_NO_PREEMPT-equivalent skip)",
+                  file=sys.stderr)
+            return
     except (ProcessLookupError, PermissionError):
         pass  # leader already gone — fall through to stale-lease cleanup
     try:

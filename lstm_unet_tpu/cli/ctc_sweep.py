@@ -19,6 +19,7 @@ from __future__ import annotations
 import argparse
 import glob
 import os
+import sys
 from collections import defaultdict
 
 from ..config import CTCInferenceParams
@@ -38,6 +39,41 @@ def find_sequences(root: str):
             if (os.path.isdir(seq_dir) and not seq.endswith(("_GT", "_ST", "_RES"))
                     and glob.glob(os.path.join(seq_dir, "t*.tif"))):
                 yield ds, seq, seq_dir
+
+
+# Infrastructure args (paths, stage control): must never come from a
+# recipe file, whatever keys it carries.
+_RECIPE_INFRA = {"model_path", "root_data_dir", "output_root", "seqs",
+                 "ckpt_step", "calibrate", "watchdog_secs", "recipe",
+                 "save_intermediate", "score_seg", "help"}
+
+
+def apply_recipe(ap, args, argv=None) -> dict:
+    """Overlay ``args.recipe`` knobs onto parsed ``args`` in place.
+
+    Explicit CLI flags win over recipe keys (same semantics as
+    inference2d): a flag counts as explicit when its option string appears
+    on the command line — plain setattr over parse_args output cannot
+    distinguish defaults from explicit values. Returns the applied dict.
+    """
+    if not args.recipe:
+        return {}
+    from ..config import load_recipe
+
+    knob_dests = {a.dest for a in ap._actions} - _RECIPE_INFRA
+    recipe = load_recipe(args.recipe, known=knob_dests)
+    toks = {t.split("=", 1)[0] for t in
+            (argv if argv is not None else sys.argv[1:])
+            if t.startswith("--")}
+    explicit = {a.dest for a in ap._actions
+                if any(o in toks for o in a.option_strings)}
+    applied = {k: v for k, v in recipe.items() if k not in explicit}
+    for k, v in applied.items():
+        setattr(args, k, v)
+    skipped = {k: v for k, v in recipe.items() if k in explicit}
+    log_print(f"recipe {args.recipe}: {applied}"
+              + (f" (explicit flags win over {skipped})" if skipped else ""))
+    return applied
 
 
 def main(argv=None) -> None:
@@ -121,17 +157,10 @@ def main(argv=None) -> None:
                          "the stage (.ok markers).")
     ap.add_argument("--recipe", type=str, default="",
                     help="knob recipe JSON (configs/recommended.json or a "
-                         "scripts/calibrate_recipe.py output); its keys "
-                         "override the flag defaults")
+                         "scripts/calibrate_recipe.py output); explicit "
+                         "flags still win over recipe keys")
     args = ap.parse_args(argv)
-
-    if args.recipe:
-        from ..config import load_recipe
-
-        recipe = load_recipe(args.recipe, known=set(vars(args)))
-        for k, v in recipe.items():
-            setattr(args, k, v)
-        log_print(f"recipe {args.recipe}: {recipe}")
+    apply_recipe(ap, args, argv)
 
     if args.calibrate and args.dtype != "int8":
         # calibration writes act_scales.json into --model_path; only the

@@ -268,12 +268,10 @@ class StreamingInferenceEngine:
         if self.cfg.quant == "int8":
             from ..ops.quant import quantize_params_int8
 
-            keep = [s for s in str(
-                getattr(self.ip, "int8_keep_float", "") or "").split(",")
-                if s.strip()]
-            return quantize_params_int8(params, self._act_scales,
-                                        keep_float=keep,
-                                        float_dtype=self.cfg.compute_dtype)
+            return quantize_params_int8(
+                params, self._act_scales,
+                keep_float=getattr(self.ip, "int8_keep_float", None),
+                float_dtype=self.cfg.compute_dtype)
         from ..models.ulstm_unet import cast_params_for_inference
 
         return cast_params_for_inference(params, self.cfg.compute_dtype)

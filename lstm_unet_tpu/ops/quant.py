@@ -187,6 +187,20 @@ def _cast_float_site(node: Dict, dtype) -> Dict:
             for k, v in node.items()}
 
 
+def parse_keep_float(keep_float) -> tuple:
+    """Normalize a keep-float spec to a tuple of site prefixes.
+
+    Accepts the raw comma-separated CLI string ('encoder/0, encoder/1'),
+    an iterable of prefixes, or None/'' — every caller (engine.infer,
+    bench.py, tests) funnels through here so whitespace/empty-entry
+    handling cannot diverge across call sites."""
+    if keep_float is None:
+        return ()
+    if isinstance(keep_float, str):
+        keep_float = keep_float.split(",")
+    return tuple(s for s in (p.strip() for p in keep_float) if s)
+
+
 def _site_kept(site: str, keep_float) -> bool:
     """True when ``site`` matches a keep-float prefix ('encoder/0' matches
     encoder/0/... but not encoder/01/...)."""
@@ -212,7 +226,9 @@ def quantize_params_int8(params: Dict,
     abs-max reduction pass — one full HBM read of every conv input —
     disappears from the compiled step). Missing sites stay dynamic.
 
-    ``keep_float``: site-name prefixes (e.g. ``("encoder/0", "head")``)
+    ``keep_float``: comma-separated string or iterable of site-name
+    prefixes (e.g. ``("encoder/0", "head")``; normalized via
+    ``parse_keep_float``)
     whose conv/cell dicts stay FLOAT (cast to ``float_dtype``) — the model
     dispatches per site on the presence of ``kernel_q``, so int8 and float
     convs mix freely in one tree. Mixed-precision serving A/B: the r2 trace
@@ -220,6 +236,8 @@ def quantize_params_int8(params: Dict,
     conv layouts at the large-spatial levels; keeping those levels bf16
     trades copy time against MXU/HBM headroom (BASELINE.md).
     """
+    keep_float = parse_keep_float(keep_float)
+
     def conv(c, site):
         return (_cast_float_site(c, float_dtype)
                 if _site_kept(site, keep_float)

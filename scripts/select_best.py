@@ -155,13 +155,24 @@ def main() -> None:
     os.makedirs(work, exist_ok=True)
 
     # --- rank on val ------------------------------------------------------
+    # One ctc_sweep SUBPROCESS per step: each pays a fresh remote model
+    # compile (~2-6 min), but keeps per-subprocess watchdog isolation (a
+    # wedged device client kills one sweep, not the whole selection) and
+    # .ok-free resumability via the seg_scores.json cache — the deliberate
+    # tradeoff vs restoring steps inside one compiled process.
+    n_val = len([s for s in args.val_seqs.split(",") if s.strip()])
     ranking = []
     for s in steps:
         scores = run_sweep(args.model_path, os.path.join(args.data_root, "train"),
                            os.path.join(work, f"val_{s}"), args.recipe,
                            seqs=args.val_seqs, ckpt_step=s)
-        if not scores:
-            raise RuntimeError(f"step {s}: no SEG scores parsed (GT missing?)")
+        if len(scores) != n_val:
+            # A missing sequence/GT must not silently shrink the val set:
+            # single-sequence ranking is exactly the round-3 inversion
+            # this stage exists to avoid.
+            raise RuntimeError(
+                f"step {s}: {len(scores)} SEG scores for {n_val} requested "
+                f"val sequences ({args.val_seqs}) — got {sorted(scores)}")
         mean = sum(scores.values()) / len(scores)
         ranking.append({"step": s, "val_mean": round(mean, 4),
                         "per_seq": {k: round(v, 4) for k, v in scores.items()}})
@@ -178,7 +189,10 @@ def main() -> None:
                            os.path.join(args.data_root, "eval"),
                            os.path.join(work, f"evalrank_{r['step']}"),
                            args.recipe, ckpt_step=r["step"])
-            r["eval_mean"] = round(sum(es.values()) / max(len(es), 1), 4)
+            if not es:
+                raise RuntimeError(f"eval_rank step {r['step']}: no SEG "
+                                   "scores parsed — refusing to record 0.0")
+            r["eval_mean"] = round(sum(es.values()) / len(es), 4)
             print(f"select_best: step {r['step']} eval mean "
                   f"{r['eval_mean']:.4f} (val {r['val_mean']:.4f})",
                   flush=True)
@@ -190,16 +204,21 @@ def main() -> None:
 
     # --- soup + durable artifact ------------------------------------------
     if args.best_dir:
-        if os.path.isdir(args.best_dir):
-            shutil.rmtree(args.best_dir)  # regenerate atomically-ish
-        out_step = average_checkpoints(args.model_path, args.best_dir,
+        # Build into a sibling tmp dir and swap ONLY after the soup,
+        # recipe, provenance, eval confirm and int8 calibration all
+        # succeeded: a crash/preemption mid-stage must never destroy the
+        # previous durable artifact (the one thing this stage exists to
+        # preserve across VM resets).
+        build = args.best_dir.rstrip("/") + ".tmp"
+        if os.path.isdir(build):
+            shutil.rmtree(build)
+        out_step = average_checkpoints(args.model_path, build,
                                        steps=best_two)
         summary["best_dir"] = args.best_dir
         summary["best_step"] = out_step
         if args.recipe:
-            shutil.copyfile(args.recipe,
-                            os.path.join(args.best_dir, "recipe.json"))
-        with open(os.path.join(args.best_dir, "provenance.json"), "w") as f:
+            shutil.copyfile(args.recipe, os.path.join(build, "recipe.json"))
+        with open(os.path.join(build, "provenance.json"), "w") as f:
             json.dump({"source": os.path.abspath(args.model_path),
                        "soup_steps": best_two,
                        "val_seqs": args.val_seqs,
@@ -207,12 +226,15 @@ def main() -> None:
 
         # confirm ONCE on eval (pre-registered winner — no eval ranking)
         soup_tag = "_".join(map(str, best_two))  # cache key tracks the soup
-        eval_scores = run_sweep(args.best_dir,
+        eval_scores = run_sweep(build,
                                 os.path.join(args.data_root, "eval"),
                                 os.path.join(work, f"eval_soup_{soup_tag}"),
                                 args.recipe)
+        if not eval_scores:
+            raise RuntimeError("soup eval confirm parsed no SEG scores "
+                               "(eval GT missing?) — refusing to record 0.0")
         summary["eval_soup_mean"] = round(
-            sum(eval_scores.values()) / max(len(eval_scores), 1), 4)
+            sum(eval_scores.values()) / len(eval_scores), 4)
         summary["eval_soup_per_seq"] = {
             k: round(v, 4) for k, v in eval_scores.items()}
         print(f"select_best: soup{best_two} eval mean "
@@ -220,24 +242,31 @@ def main() -> None:
 
         if not args.skip_int8:
             # int8 gate on the soup; --calibrate also writes provenance-
-            # stamped act_scales.json INTO best_dir (soups must recalibrate:
-            # averaged weights shift activation ranges)
+            # stamped act_scales.json INTO the build dir (soups must
+            # recalibrate: averaged weights shift activation ranges)
             int8_work = os.path.join(work, f"eval_soup_{soup_tag}_int8")
-            if not os.path.exists(os.path.join(args.best_dir,
-                                               "act_scales.json")):
-                # best_dir was just regenerated: the cached int8 sweep would
-                # skip the --calibrate side effect that writes
-                # act_scales.json INTO best_dir — force a fresh run
+            if not os.path.exists(os.path.join(build, "act_scales.json")):
+                # freshly built dir: the cached int8 sweep would skip the
+                # --calibrate side effect that writes act_scales.json —
+                # force a fresh run
                 cache = os.path.join(int8_work, "seg_scores.json")
                 if os.path.exists(cache):
                     os.remove(cache)
             int8_scores = run_sweep(
-                args.best_dir, os.path.join(args.data_root, "eval"),
+                build, os.path.join(args.data_root, "eval"),
                 int8_work, args.recipe, dtype="int8", calibrate=16)
+            if not int8_scores:
+                raise RuntimeError("soup int8 confirm parsed no SEG scores "
+                                   "— refusing to record 0.0")
             summary["eval_soup_int8_mean"] = round(
-                sum(int8_scores.values()) / max(len(int8_scores), 1), 4)
+                sum(int8_scores.values()) / len(int8_scores), 4)
             summary["eval_soup_int8_per_seq"] = {
                 k: round(v, 4) for k, v in int8_scores.items()}
+
+        # everything succeeded — swap the artifact into place
+        if os.path.isdir(args.best_dir):
+            shutil.rmtree(args.best_dir)
+        os.rename(build, args.best_dir)
 
     # --- prune stale step dirs ---------------------------------------------
     if args.prune:

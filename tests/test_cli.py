@@ -193,3 +193,44 @@ def test_resolve_model_dir_accepts_run_dir(tmp_path):
     assert resolve_model_dir(str(ckpt)) == str(ckpt)
     # unknown dirs come back unchanged (error messages stay honest)
     assert resolve_model_dir(str(tmp_path / "nope")) == str(tmp_path / "nope")
+
+
+def test_apply_recipe_explicit_flags_win(tmp_path):
+    # regression: --recipe used to clobber explicitly passed CLI flags
+    import argparse
+    import json
+
+    from lstm_unet_tpu.cli.ctc_sweep import apply_recipe
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--recipe", default="")
+    ap.add_argument("--cell_thresh", type=float, default=0.5)
+    ap.add_argument("--size_filter", default="pre")
+    ap.add_argument("--model_path", default="orig")
+    f = tmp_path / "recipe.json"
+    f.write_text(json.dumps({"cell_thresh": 0.55, "size_filter": "post",
+                             "model_path": "evil"}))
+    argv = ["--recipe", str(f), "--cell_thresh", "0.6"]
+    args = ap.parse_args(argv)
+    applied = apply_recipe(ap, args, argv)
+    assert args.cell_thresh == 0.6          # explicit flag wins
+    assert args.size_filter == "post"       # recipe fills the default
+    assert args.model_path == "orig"        # infra keys never applied
+    assert applied == {"size_filter": "post"}
+
+
+def test_apply_recipe_eq_form_counts_as_explicit(tmp_path):
+    import argparse
+    import json
+
+    from lstm_unet_tpu.cli.ctc_sweep import apply_recipe
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--recipe", default="")
+    ap.add_argument("--cell_thresh", type=float, default=0.5)
+    f = tmp_path / "recipe.json"
+    f.write_text(json.dumps({"cell_thresh": 0.55}))
+    argv = ["--recipe", str(f), "--cell_thresh=0.6"]
+    args = ap.parse_args(argv)
+    apply_recipe(ap, args, argv)
+    assert args.cell_thresh == 0.6

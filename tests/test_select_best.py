@@ -127,7 +127,25 @@ def test_select_best_no_scores_fails_loud(tmp_path, monkeypatch):
     monkeypatch.setattr(sb, "run_sweep", lambda *a, **k: {})
     monkeypatch.setattr(sys, "argv", [
         "select_best.py", "--model_path", str(run), "--data_root", str(data)])
-    with pytest.raises(RuntimeError, match="no SEG scores"):
+    with pytest.raises(RuntimeError, match="SEG scores"):
+        sb.main()
+
+
+def test_select_best_partial_val_set_fails_loud(tmp_path, monkeypatch):
+    # a missing val sequence/GT must not silently shrink ranking to a
+    # single sequence (the round-3 rank-inversion setup)
+    import sys
+
+    sb = _load_module()
+    run = _fake_run(tmp_path, make_ckpt_steps=(500,))
+    data = tmp_path / "heldout"
+    (data / "train").mkdir(parents=True)
+    monkeypatch.setattr(sb, "run_sweep",
+                        lambda *a, **k: {"train/Synth-N2DH-SIM/03": 0.9})
+    monkeypatch.setattr(sys, "argv", [
+        "select_best.py", "--model_path", str(run), "--data_root", str(data),
+        "--val_seqs", "03,10"])
+    with pytest.raises(RuntimeError, match="1 SEG scores for 2 requested"):
         sb.main()
 
 
@@ -158,3 +176,31 @@ def test_run_sweep_score_cache(tmp_path):
     scores = sb.run_sweep("/nonexistent/model", "/nonexistent/data",
                           str(out_root), recipe="")
     assert scores == cached
+
+
+def test_failed_rerun_preserves_previous_best_artifact(tmp_path, monkeypatch):
+    # the durable artifact must survive a mid-stage failure: the soup is
+    # built into best_dir.tmp and only swapped in after every confirm
+    # succeeded
+    sb = _load_module()
+    run = _fake_run(tmp_path, make_ckpt_steps=(7000, 8000))
+    data = tmp_path / "heldout"
+    (data / "train").mkdir(parents=True)
+    (data / "eval").mkdir()
+    best_dir = tmp_path / "best"
+    best_dir.mkdir()
+    (best_dir / "PRECIOUS").write_text("previous round's artifact")
+
+    def fake_sweep(model_path, data_root, output_root, recipe_arg,
+                   seqs="", ckpt_step=0, dtype="", calibrate=0, timeout=0):
+        if ckpt_step:
+            return {"val/03": 0.9, "val/10": 0.9}
+        return {}  # eval confirm parses nothing -> must raise, not swap
+
+    monkeypatch.setattr(sb, "run_sweep", fake_sweep)
+    monkeypatch.setattr(sys, "argv", [
+        "select_best.py", "--model_path", str(run), "--data_root", str(data),
+        "--val_seqs", "03,10", "--best_dir", str(best_dir), "--skip_int8"])
+    with pytest.raises(RuntimeError, match="refusing to record 0.0"):
+        sb.main()
+    assert (best_dir / "PRECIOUS").read_text() == "previous round's artifact"
