@@ -41,11 +41,32 @@ def find_sequences(root: str):
                 yield ds, seq, seq_dir
 
 
+def _aligned_gt_pred(gt_dir: str, pattern: str, out_dir: str):
+    """Pair GT frames in ``gt_dir`` with the swept masks (GT may be sparse)."""
+    import re
+
+    from ..io.dataset import _frame_index
+
+    idx_re = re.compile(re.escape(pattern).replace(r"\*", r"(\d+)") + "$")
+    gts, preds = [], []
+    for g in sorted(glob.glob(os.path.join(gt_dir, pattern))):
+        idx = _frame_index(g, idx_re)
+        if idx is None:
+            continue
+        for fmt in ("mask%03d.tif", "mask%04d.tif"):
+            mp = os.path.join(out_dir, fmt % idx)
+            if os.path.exists(mp):
+                gts.append(read_tiff(g))
+                preds.append(read_tiff(mp))
+                break
+    return gts, preds
+
+
 # Infrastructure args (paths, stage control): must never come from a
 # recipe file, whatever keys it carries.
 _RECIPE_INFRA = {"model_path", "root_data_dir", "output_root", "seqs",
                  "ckpt_step", "calibrate", "watchdog_secs", "recipe",
-                 "save_intermediate", "score_seg", "help"}
+                 "save_intermediate", "score_seg", "score_det", "help"}
 
 
 def apply_recipe(ap, args, argv=None) -> dict:
@@ -139,6 +160,10 @@ def main(argv=None) -> None:
     ap.add_argument("--score_seg", action="store_true",
                     help="after the sweep, score SEG against <seq>_GT/SEG "
                          "ground truth where present")
+    ap.add_argument("--score_det", action="store_true",
+                    help="after the sweep, score the CTC DET measure "
+                         "(AOGM-D) against <seq>_GT/TRA markers when "
+                         "present, else <seq>_GT/SEG")
     ap.add_argument("--seqs", type=str, default="",
                     help="comma-separated sequence names to sweep (e.g. "
                          "'03' or '01,03'); default = every sequence found")
@@ -232,31 +257,30 @@ def main(argv=None) -> None:
             pairs.extend(chunk)
     log_print(f"sweep complete: {total} masks")
 
-    if args.score_seg:
-        from ..io.dataset import _SEG_RE, _frame_index
-        from ..metrics import seg_measure_sequence
+    if args.score_seg or args.score_det:
+        from ..metrics import det_measure_sequence, seg_measure_sequence
 
         for seq_dir, out_dir in pairs:
-            gt_dir = seq_dir + "_GT/SEG"
-            gts = sorted(glob.glob(os.path.join(gt_dir, "man_seg*.tif")))
-            if not gts:
-                continue
-            # align masks to the GT frame indices (GT may be sparse)
-            scores_gt, scores_pred = [], []
-            for g in gts:
-                idx = _frame_index(g, _SEG_RE)
-                if idx is None:
-                    continue
-                for fmt in ("mask%03d.tif", "mask%04d.tif"):
-                    mp = os.path.join(out_dir, fmt % idx)
-                    if os.path.exists(mp):
-                        scores_gt.append(read_tiff(g))
-                        scores_pred.append(read_tiff(mp))
-                        break
-            if scores_gt:
-                score = seg_measure_sequence(scores_gt, scores_pred)
-                log_print(f"SEG {seq_dir}: {score:.4f} "
-                          f"({len(scores_gt)} annotated frames)")
+            if args.score_seg:
+                gts, preds = _aligned_gt_pred(seq_dir + "_GT/SEG",
+                                              "man_seg*.tif", out_dir)
+                if gts:
+                    score = seg_measure_sequence(gts, preds)
+                    log_print(f"SEG {seq_dir}: {score:.4f} "
+                              f"({len(gts)} annotated frames)")
+            if args.score_det:
+                # official DET scores against the dense TRA markers; fall
+                # back to the (possibly sparse) SEG masks when a dataset
+                # carries no TRA ground truth
+                gts, preds = _aligned_gt_pred(seq_dir + "_GT/TRA",
+                                              "man_track*.tif", out_dir)
+                if not gts:
+                    gts, preds = _aligned_gt_pred(seq_dir + "_GT/SEG",
+                                                  "man_seg*.tif", out_dir)
+                if gts:
+                    score = det_measure_sequence(gts, preds)
+                    log_print(f"DET {seq_dir}: {score:.4f} "
+                              f"({len(gts)} annotated frames)")
 
 
 if __name__ == "__main__":

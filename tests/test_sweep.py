@@ -63,7 +63,7 @@ def test_batched_matches_single_sequence(trained, tmp_path):
                 err_msg=f"lane {i} {os.path.basename(mb)}")
 
 
-def test_ctc_sweep_cli(trained, tmp_path):
+def test_ctc_sweep_cli(trained, tmp_path, capsys):
     from lstm_unet_tpu.cli.ctc_sweep import main
 
     root, ckpt = trained
@@ -71,7 +71,15 @@ def test_ctc_sweep_cli(trained, tmp_path):
     main(["--model_path", ckpt, "--root_data_dir", root,
           "--output_root", out, "--min_cell_size", "5",
           "--pre_sequence_frames", "1", "--dtype", "float32",
-          "--save_intermediate"])
+          "--save_intermediate", "--score_seg", "--score_det"])
+    logged = capsys.readouterr().out
+    # both CTC scores are emitted per sequence with GT (01 and 02)
+    assert len([ln for ln in logged.splitlines() if "SEG " in ln]) == 2
+    det_lines = [ln for ln in logged.splitlines() if "DET " in ln]
+    assert len(det_lines) == 2
+    for ln in det_lines:  # DET ∈ [0, 1] by construction
+        val = float(ln.split("DET ")[1].split(":")[1].split()[0])
+        assert 0.0 <= val <= 1.0
     res01 = glob.glob(os.path.join(out, "Synth-N2DH-SIM", "01_RES", "mask*.tif"))
     res02 = glob.glob(os.path.join(out, "Synth-N2DH-SIM", "02_RES", "mask*.tif"))
     assert len(res01) == 8 and len(res02) == 6
