@@ -395,17 +395,21 @@ class Trainer:
             return shard_batch(self.mesh, batch)
         return jax.tree_util.tree_map(jnp.asarray, batch)
 
-    def _val_seg(self, probs, inst, valid) -> float:
-        """Per-object SEG on postprocessed validation predictions
+    def _val_objscores(self, probs, inst, valid) -> Tuple[float, float]:
+        """Per-object (SEG, DET) on postprocessed validation predictions
         (SURVEY.md §2 "Validation metric": per-object Jaccard on connected
-        components). Runs the SAME on-device postprocess as inference
-        (threshold → CCL → min-size → marker growth) on every annotated
-        frame of the val window and scores metrics/seg.py::seg_measure
-        against the instance GT carried by the val reader."""
-        from ..metrics import seg_measure
+        components; DET added r4 as a second selection signal — it reacts
+        to FN/FP/split errors SEG's Jaccard mean can mask). Runs the SAME
+        on-device postprocess as inference (threshold → CCL → min-size →
+        marker growth) on every annotated frame of the val window and
+        scores metrics/seg.py + metrics/det.py against the instance GT
+        carried by the val reader."""
+        from ..metrics import det_counts, seg_measure
+        from ..metrics.det import W_FN, W_FP, W_NS
         from ..ops.postprocess import postprocess_frame
 
         total, count = 0.0, 0
+        ns = fn = fp = n_ref = 0
         b_n, t_n = valid.shape
         for b in range(b_n):
             for t in range(t_n):
@@ -416,7 +420,19 @@ class Trainer:
                 s, n = seg_measure(inst[b, t], lab)
                 total += s
                 count += n
-        return total / count if count else 0.0
+                cs, cn, cp, cg = det_counts(inst[b, t], lab)
+                ns += cs
+                fn += cn
+                fp += cp
+                n_ref += cg
+        seg = total / count if count else 0.0
+        det = (1.0 - min(W_NS * ns + W_FN * fn + W_FP * fp,
+                         W_FN * n_ref) / (W_FN * n_ref)) if n_ref else 0.0
+        return seg, det
+
+    def _val_seg(self, probs, inst, valid) -> float:
+        # unbound-callable on purpose: tests drive it with a bare namespace
+        return Trainer._val_objscores(self, probs, inst, valid)[0]
 
     # ------------------------------------------------------------------
 
@@ -556,11 +572,13 @@ class Trainer:
                         self.model_params, val_state, vimg, vseg, vvalid,
                         vfull, vlast)
                     vm = {k: float(v) for k, v in vm.items()}
-                    vm["seg"] = self._val_seg(vprobs, vinst, vvalid_h)
+                    vm["seg"], vm["det"] = self._val_objscores(
+                        vprobs, vinst, vvalid_h)
                     self.last_val_metrics = vm
                     log_print(f"  val: loss={vm['loss']:.4f} "
                               f"acc={vm['accuracy']:.4f} "
                               f"seg={vm['seg']:.4f} "
+                              f"det={vm['det']:.4f} "
                               f"seg_proxy={vm['seg_proxy']:.4f}")
                     if self.tb:
                         for k, v in vm.items():

@@ -224,6 +224,11 @@ def test_val_seg_hand_computed():
     score = Trainer._val_seg(fake, jnp.asarray(probs), inst, valid)
     # J = 24 / (36 + 24 - 24) = 2/3
     assert score == pytest.approx(24 / 36)
+    # DET: the 24px prediction covers >half of the 36px GT object → matched,
+    # no FN/FP/splits → perfect detection despite the imperfect Jaccard
+    seg, det = Trainer._val_objscores(fake, jnp.asarray(probs), inst, valid)
+    assert seg == pytest.approx(24 / 36)
+    assert det == pytest.approx(1.0)
 
 
 def test_validation_reports_per_object_seg(synth_root, tmp_path):
@@ -235,6 +240,8 @@ def test_validation_reports_per_object_seg(synth_root, tmp_path):
     t.train(num_iterations=12)
     assert "seg" in t.last_val_metrics
     assert 0.0 <= t.last_val_metrics["seg"] <= 1.0
+    assert "det" in t.last_val_metrics
+    assert 0.0 <= t.last_val_metrics["det"] <= 1.0
 
 
 def test_reader_instance_augmentation_lockstep(synth_root, tmp_path):
