@@ -47,35 +47,40 @@ def det_counts(gt: np.ndarray, pred: np.ndarray) -> Tuple[int, int, int, int]:
     pred = np.asarray(pred)
     if gt.shape != pred.shape:
         raise ValueError(f"shape mismatch {gt.shape} vs {pred.shape}")
-    gt_ids = np.unique(gt)
-    gt_ids = gt_ids[gt_ids > 0]
-    pred_ids = np.unique(pred)
-    pred_ids = pred_ids[pred_ids > 0]
-    if gt_ids.size == 0:
-        return 0, 0, int(pred_ids.size), 0
-    if pred_ids.size == 0:
-        return 0, int(gt_ids.size), 0, int(gt_ids.size)
-    # joint histogram over (gt label, pred label) — same construction as
-    # seg_measure, so SEG and DET share matching semantics exactly
-    n_g = int(gt.max()) + 1
-    n_p = int(pred.max()) + 1
-    joint = np.zeros((n_g, n_p), np.int64)
-    np.add.at(joint, (gt.ravel(), pred.ravel()), 1)
+    # densify labels (rank-index) so sparse/large CTC ids never blow the
+    # histogram up — same construction as seg_measure, so SEG and DET share
+    # matching semantics exactly
+    gt_ids, gt_d = np.unique(gt, return_inverse=True)
+    if gt_ids[0] != 0:
+        gt_ids = np.concatenate([[0], gt_ids])
+        gt_d = gt_d + 1
+    pred_ids, pred_d = np.unique(pred, return_inverse=True)
+    if pred_ids[0] != 0:
+        pred_ids = np.concatenate([[0], pred_ids])
+        pred_d = pred_d + 1
+    n_gt = int(gt_ids.size - 1)
+    n_pred = int(pred_ids.size - 1)
+    if n_gt == 0:
+        return 0, 0, n_pred, 0
+    if n_pred == 0:
+        return 0, n_gt, 0, n_gt
+    joint = np.zeros((gt_ids.size, pred_ids.size), np.int64)
+    np.add.at(joint, (gt_d.ravel(), pred_d.ravel()), 1)
     gt_sizes = joint.sum(axis=1)
 
-    matches_per_pred = np.zeros(n_p, np.int64)
+    matches_per_pred = np.zeros(pred_ids.size, np.int64)
     fn = 0
-    for g in gt_ids:
+    for g in range(1, gt_ids.size):
         inter = joint[g, 1:]
         best = int(np.argmax(inter)) + 1
-        if inter.size and int(inter[best - 1]) * 2 > gt_sizes[g]:
+        if int(inter[best - 1]) * 2 > gt_sizes[g]:
             matches_per_pred[best] += 1
         else:
             fn += 1
-    matched = matches_per_pred[pred_ids]
+    matched = matches_per_pred[1:]
     fp = int(np.count_nonzero(matched == 0))
     ns = int(np.maximum(matched - 1, 0).sum())
-    return ns, fn, fp, int(gt_ids.size)
+    return ns, fn, fp, n_gt
 
 
 def det_measure_sequence(gt_frames: Iterable[np.ndarray],

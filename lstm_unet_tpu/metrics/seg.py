@@ -24,19 +24,26 @@ def seg_measure(gt: np.ndarray, pred: np.ndarray) -> Tuple[float, int]:
     pred = np.asarray(pred)
     if gt.shape != pred.shape:
         raise ValueError(f"shape mismatch {gt.shape} vs {pred.shape}")
-    gt_ids = np.unique(gt)
-    gt_ids = gt_ids[gt_ids > 0]
-    if gt_ids.size == 0:
+    # densify labels first: real CTC ids can be large and sparse (uint16
+    # man_track labels), and a (gt.max()+1, pred.max()+1) histogram would
+    # allocate gigabytes — index by rank instead (0 stays background: rank 0)
+    gt_ids, gt_d = np.unique(gt, return_inverse=True)
+    if gt_ids[0] != 0:  # no background pixel — prepend a rank for label 0
+        gt_ids = np.concatenate([[0], gt_ids])
+        gt_d = gt_d + 1
+    if gt_ids.size <= 1:
         return 0.0, 0
-    # joint histogram over (gt label, pred label)
-    n_g = int(gt.max()) + 1
-    n_p = int(pred.max()) + 1
-    joint = np.zeros((n_g, n_p), np.int64)
-    np.add.at(joint, (gt.ravel(), pred.ravel()), 1)
+    pred_ids, pred_d = np.unique(pred, return_inverse=True)
+    if pred_ids[0] != 0:
+        pred_ids = np.concatenate([[0], pred_ids])
+        pred_d = pred_d + 1
+    # joint histogram over (gt rank, pred rank)
+    joint = np.zeros((gt_ids.size, pred_ids.size), np.int64)
+    np.add.at(joint, (gt_d.ravel(), pred_d.ravel()), 1)
     gt_sizes = joint.sum(axis=1)
     pred_sizes = joint.sum(axis=0)
     total = 0.0
-    for g in gt_ids:
+    for g in range(1, gt_ids.size):
         inter = joint[g, 1:]  # overlaps with every non-bg pred label
         if inter.size == 0:   # prediction is all background
             continue
@@ -45,7 +52,7 @@ def seg_measure(gt: np.ndarray, pred: np.ndarray) -> Tuple[float, int]:
         if ovl * 2 > gt_sizes[g]:  # strict majority rule of the SEG measure
             union = gt_sizes[g] + pred_sizes[best] - ovl
             total += ovl / union
-    return float(total), int(gt_ids.size)
+    return float(total), int(gt_ids.size - 1)
 
 
 def seg_measure_sequence(gt_frames: Iterable[np.ndarray],
