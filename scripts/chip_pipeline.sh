@@ -78,6 +78,16 @@ train_v3bw() {
     --save_checkpoint_iteration 500 "${extra[@]}"
 }
 stage T_train_v3bw train_v3bw
+if [ ! -e "$LOGS/T_train_v3bw.ok" ]; then
+  # A killed/failed training run must NOT flow into the eval stages: every
+  # model-dependent number below would silently be measured on an
+  # undertrained checkpoint (this happened live r4: the step-6900 trainer
+  # was OOM-killed by a concurrent test-suite run and the pipeline went on
+  # to bench stages with the step-6500 save as MODEL). Relaunching the
+  # pipeline resumes training from the last 500-step save.
+  echo "=== training did not complete — aborting (relaunch to resume)"
+  exit 1
+fi
 MODEL=$(ls -d "$SAVE"/v3bw_* 2>/dev/null | sort | tail -1)
 if [ -z "$MODEL" ]; then
   echo "=== no model dir after training — aborting eval stages"
