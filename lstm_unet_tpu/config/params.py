@@ -315,6 +315,24 @@ class CTCParams(ParamsBase):
     spike_cooldown: int = 100       # min steps between rollbacks
     spike_max_rollbacks: int = 5    # then fail loudly (data/LR is wrong)
 
+    # Host-RSS relaunch guard (no reference analog — SURVEY.md §5 failure
+    # detection; motivated r4: the tunneled device client leaks host memory
+    # per batch upload, ~the uploaded bytes/step, so any multi-thousand-step
+    # run eventually OOMs — the step-6900 trainer died at ~100 GB RSS).
+    # When VmRSS exceeds this many GB the trainer exits 17 after the normal
+    # final save; scripts/train_retry.sh relaunches with continue_run and
+    # the RSS resets. 0 disables.
+    rss_relaunch_gb: float = 90.0
+
+    # Compact batch uploads (r4, mitigates the same leak at the source and
+    # shrinks per-step tunnel traffic ~2.7x): labels upload as int8
+    # (one_hot/compare semantics are dtype-independent — bit-identical) and,
+    # when dtype='bfloat16', images pre-cast host-side to bf16 — the model's
+    # first op is astype(compute_dtype) (models/ulstm_unet.py::step), so the
+    # rounding is the same convert XLA would do (bit-identical). Escape
+    # hatch for A/B archaeology only.
+    compact_upload: bool = True
+
     # parallel (new in the rebuild; no reference analog — SURVEY.md §2 checklist)
     mesh_shape: Dict[str, int] = field(default_factory=lambda: {"data": 1})
     # jax.checkpoint the scan body during BPTT: without it the flagship at

@@ -35,6 +35,9 @@ from ..models import ModelConfig, ULSTMnet2D
 from ..parallel import (make_mesh, mesh_axis_sizes, replicated_sharding,
                         shard_batch, shard_state)
 from ..utils import log_print
+from ..utils.watchdog import STALL_EXIT_CODE, rss_gb
+
+_RSS_CHECK_EVERY = 50  # steps between host-RSS guard checks (~µs each)
 from .loss import weighted_ce_loss
 
 from ..io.grain_reader import GrainCTCReaderSequence2D
@@ -391,6 +394,20 @@ class Trainer:
         return state
 
     def _put(self, batch):
+        if self.p.compact_upload:
+            # (img, seg, valid, full_seg, is_last): labels → int8 (values
+            # {-1..2}; one_hot/compare are dtype-independent) and, for bf16
+            # models, images pre-cast host-side — the model's first op is
+            # astype(compute_dtype), so this is the identical rounding one
+            # convert earlier. Bit-identical math, ~2.7x less per-step
+            # upload through the tunnel (whose client leaks host memory per
+            # uploaded byte — see CTCParams.rss_relaunch_gb).
+            img, seg, valid, full_seg, is_last = batch
+            if self.cfg.dtype == "bfloat16":
+                import ml_dtypes
+                img = np.asarray(img).astype(ml_dtypes.bfloat16)
+            batch = (img, np.asarray(seg).astype(np.int8),
+                     valid, full_seg, is_last)
         if self.mesh is not None:
             return shard_batch(self.mesh, batch)
         return jax.tree_util.tree_map(jnp.asarray, batch)
@@ -585,7 +602,8 @@ class Trainer:
                             self.tb.add_scalar(f"val/{k}", v, self.global_step)
                         # image summaries: input / GT / prediction of lane 0,
                         # last frame (reference: tf.summary images [M])
-                        x = np.asarray(vimg[0, -1, :, :, 0])
+                        x = np.asarray(vimg[0, -1, :, :, 0],
+                                       dtype=np.float32)  # bf16-safe for TB
                         x = (x - x.min()) / max(x.max() - x.min(), 1e-6)
                         self.tb.add_image("val/input", x[None], self.global_step)
                         self.tb.add_image(
@@ -599,6 +617,20 @@ class Trainer:
                     if watchdog:
                         watchdog.feed()  # bound the save segment separately
                     self._save_checkpoint()
+
+                if p.rss_relaunch_gb > 0 and (it + 1) % _RSS_CHECK_EVERY == 0:
+                    rss = rss_gb()
+                    if rss > p.rss_relaunch_gb:
+                        # exit with the watchdog code: the finally block
+                        # below runs the normal final save first, then
+                        # train_retry.sh relaunches with continue_run and
+                        # host RSS resets (see CTCParams.rss_relaunch_gb)
+                        log_print(
+                            f"host RSS {rss:.1f} GB > rss_relaunch_gb="
+                            f"{p.rss_relaunch_gb:g} at step "
+                            f"{self.global_step} — saving and exiting "
+                            f"{STALL_EXIT_CODE} for a supervisor relaunch")
+                        raise SystemExit(STALL_EXIT_CODE)
         finally:
             if profiling:  # stop leaked traces (short runs / exceptions)
                 try:

@@ -97,3 +97,21 @@ class StallWatchdog:
             if stalled_for > self.timeout_s:
                 self._on_stall(stalled_for)
                 return
+
+
+def rss_gb() -> float:
+    """Current process VmRSS in GB (0.0 where /proc is unavailable).
+
+    Feeds the trainer's host-RSS relaunch guard (CTCParams.rss_relaunch_gb):
+    the tunneled device client leaks host memory proportional to bytes
+    uploaded, so long runs must self-relaunch before the OOM killer chooses
+    for them (measured r4: ~100 GB RSS at step 6900, ~the cumulative batch
+    upload volume)."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 1e6  # kB → GB
+    except (OSError, ValueError, IndexError):
+        pass
+    return 0.0

@@ -618,3 +618,47 @@ def test_adam_mu_dtype_bf16_trains(synth_root, tmp_path):
             assert leaf.dtype == jnp.bfloat16, leaf.dtype
         for leaf in jax.tree_util.tree_leaves(s.nu):
             assert leaf.dtype == jnp.float32, leaf.dtype
+
+
+def test_compact_upload_is_bit_identical(synth_root, tmp_path):
+    """compact_upload (int8 labels + host-side bf16 image pre-cast) must be
+    bit-identical to the f32/int32 upload path: the model's first op is
+    astype(compute_dtype), and one_hot/compare are label-dtype-independent."""
+    losses = {}
+    for compact in (True, False):
+        p = _params(synth_root, tmp_path / f"c{compact}", dtype="bfloat16",
+                    dry_run=True, compact_upload=compact)
+        t = Trainer(p, seed=0)
+        m = t.train(num_iterations=3)
+        losses[compact] = m["loss"]
+    assert losses[True] == losses[False]
+
+
+def test_rss_guard_exits_with_watchdog_code(synth_root, tmp_path, monkeypatch):
+    """The host-RSS relaunch guard saves and exits 17 (train_retry.sh then
+    relaunches with continue_run — same contract as the stall watchdog)."""
+    import lstm_unet_tpu.engine.train as train_mod
+
+    monkeypatch.setattr(train_mod, "rss_gb", lambda: 999.0)
+    monkeypatch.setattr(train_mod, "_RSS_CHECK_EVERY", 2)
+    p = _params(synth_root, tmp_path, dry_run=False,
+                experiment_name="rssguard", save_checkpoint_iteration=10000)
+    t = Trainer(p, seed=0)
+    with pytest.raises(SystemExit) as e:
+        t.train(num_iterations=10)
+    assert e.value.code == 17
+    # the finally block ran the final barrier save — the run is resumable
+    steps = [d for d in os.listdir(p.experiment_save_dir) if d.isdigit()]
+    assert steps, f"no checkpoint saved under {p.experiment_save_dir}"
+
+
+def test_rss_guard_disabled_runs_to_completion(synth_root, tmp_path,
+                                               monkeypatch):
+    import lstm_unet_tpu.engine.train as train_mod
+
+    monkeypatch.setattr(train_mod, "rss_gb", lambda: 999.0)
+    monkeypatch.setattr(train_mod, "_RSS_CHECK_EVERY", 2)
+    p = _params(synth_root, tmp_path, dry_run=True, rss_relaunch_gb=0.0)
+    t = Trainer(p, seed=0)
+    m = t.train(num_iterations=4)
+    assert np.isfinite(m["loss"])
