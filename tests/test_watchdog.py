@@ -88,3 +88,16 @@ def test_trainer_runs_clean_with_watchdog(tmp_path):
     t = Trainer(p, seed=0)
     out = t.train(num_iterations=3)
     assert "loss" in out
+
+
+def test_rss_gb_reads_proc():
+    """rss_gb() reports this process's real VmRSS: positive, plausibly
+    bounded, and consistent with a direct /proc read (the trainer's
+    host-RSS relaunch guard trusts this number)."""
+    from lstm_unet_tpu.utils.watchdog import rss_gb
+
+    v = rss_gb()
+    assert 0.001 < v < 200.0, v
+    with open("/proc/self/status") as f:
+        kb = next(int(l.split()[1]) for l in f if l.startswith("VmRSS:"))
+    assert abs(v - kb / 1e6) < 0.5  # same ballpark (allocs between reads)
