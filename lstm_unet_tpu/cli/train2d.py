@@ -64,6 +64,16 @@ def build_parser() -> argparse.ArgumentParser:
                          "damage guard); 0 disables")
     ap.add_argument("--spike_cooldown", type=int)
     ap.add_argument("--spike_max_rollbacks", type=int)
+    ap.add_argument("--rss_relaunch_gb", type=float,
+                    help="save + exit 17 when host VmRSS exceeds this many "
+                         "GB (the tunneled device client leaks host memory "
+                         "per uploaded byte); scripts/train_retry.sh "
+                         "relaunches with --continue_run. 0 disables.")
+    ap.add_argument("--compact_upload", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="bit-identical compact batch uploads (int8 labels "
+                         "+ host-side bf16 image pre-cast, ~2.7x less "
+                         "tunnel traffic; default on)")
     ap.add_argument("--dtype", type=str, choices=["float32", "bfloat16"])
     ap.add_argument("--adam_mu_dtype", type=str,
                     choices=["float32", "bfloat16"],

@@ -27,6 +27,15 @@ def test_train_parser_seq_list_and_types():
     assert args.gt_is_full_seg is False
 
 
+def test_train_parser_rss_and_compact_upload_flags():
+    # omitted → None, so params.override keeps the CTCParams defaults
+    a = train_parser().parse_args([])
+    assert a.rss_relaunch_gb is None and a.compact_upload is None
+    a = train_parser().parse_args(
+        ["--rss_relaunch_gb", "64", "--no-compact_upload"])
+    assert a.rss_relaunch_gb == 64.0 and a.compact_upload is False
+
+
 def test_seq_list_handles_colons_in_dataset_name():
     # rsplit: only the LAST colon separates the sequence id
     assert _parse_seq_list("weird:name:01") == [("weird:name", "01")]
