@@ -242,3 +242,53 @@ stage 8_eval_rank timeout 7200 python scripts/select_best.py \
   --out "$OUT/select_best_evalrank.json"
 
 echo "=== PIPELINE (all stages) COMPLETE $(date)"
+
+# --- appended mid-round (bash reads scripts lazily, so EOF-appends to the
+# --- RUNNING pipeline execute; .ok markers keep relaunches idempotent) ---
+
+# 9. v4ft checkpoint soup. Ranking the fine-tune's saves on val 03+10 would
+# be contaminated (sequences 10-12 are v4ft TRAINING data; only crop-val 03
+# stays clean), and single-sequence ranking is the measured inversion trap —
+# so force-soup the LAST TWO saves (the BASELINE.md remedy) and confirm once
+# on eval. Kept separate from the v3bw soup at best_v4; the round writeup
+# compares the two eval means.
+if [ -n "${V4MODEL:-}" ]; then
+  V4STEPS=$(python - "$V4MODEL" <<'PY'
+import os, sys
+from lstm_unet_tpu.checkpoint import resolve_model_dir
+d = resolve_model_dir(sys.argv[1])
+s = sorted(int(x) for x in os.listdir(d) if x.isdigit())
+print(",".join(map(str, s[-2:])))
+PY
+)
+  echo "=== 9: v4ft soup steps $V4STEPS"
+  stage 9_soup_v4ft timeout 3600 python scripts/select_best.py \
+    --model_path "$V4MODEL" --data_root "$DATA" --val_seqs 03 \
+    --steps "$V4STEPS" --recipe "$RECIPE" --best_dir "$SAVE/best_v4" \
+    --out "$OUT/select_best_v4ft.json"
+fi
+
+# 10. D4 test-time-augmentation A/B on the better soup (the r3 phaseQ TTA
+# stages were lost to the /tmp wipe and never ran). One pre-registered
+# config on eval: the chosen joint recipe + --tta_mode d4 (8 variants).
+TTA_MODEL="$SAVE/best"
+TTA_MODEL=$(python - "$OUT" "$SAVE" <<'PY'
+import json, os, sys
+out, save = sys.argv[1], sys.argv[2]
+def mean(p):
+    try:
+        return json.load(open(p)).get("eval_soup_mean", -1)
+    except Exception:
+        return -1
+v3 = mean(os.path.join(out, "select_best.json"))
+v4 = mean(os.path.join(out, "select_best_v4ft.json"))
+print(os.path.join(save, "best_v4") if v4 >= v3 else os.path.join(save, "best"))
+PY
+)
+echo "=== 10: TTA on $TTA_MODEL"
+stage 10_tta_d4 timeout 3600 python -m lstm_unet_tpu.cli.ctc_sweep \
+  --model_path "$TTA_MODEL" --root_data_dir "$DATA/eval" \
+  --output_root "$OUT/eval_tta_d4" --recipe "$RECIPE" \
+  --tta --tta_mode d4 --score_seg --watchdog_secs 900
+
+echo "=== PIPELINE (appended stages) COMPLETE $(date)"
