@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import json
 import os
 import time
 from typing import Any, Dict, Optional, Tuple
@@ -311,6 +312,32 @@ class Trainer:
                           f"{seed}")
                 seed = ""
             self._restore(seed)
+        # Run-level TOTAL-step target, fixed at the run's FIRST launch and
+        # persisted next to the checkpoints: a seeded fine-tune's budget is
+        # num_iterations steps ON TOP of the seed's step count, and a
+        # supervisor relaunch (--continue_run) must resume toward that SAME
+        # recorded target instead of re-deriving one from num_iterations.
+        # Caught live twice, in opposite directions: r3 — each relaunch
+        # added a full budget (fixed by total-step semantics); r4 — a
+        # fine-tune seeded at step 8000 with num_iterations=3000 was
+        # watchdog-relaunched and resumed as "0 steps remain to the 3000
+        # target", silently skipping its remaining 2000 steps.
+        self.target_step: Optional[int] = None
+        if not params.dry_run and params.experiment_save_dir:
+            tpath = os.path.join(params.experiment_save_dir,
+                                 "target_step.json")
+            if os.path.exists(tpath):
+                with open(tpath) as f:
+                    self.target_step = int(json.load(f)["target_step"])
+            elif not (params.continue_run and self.ckpt is not None
+                      and self.ckpt.latest_step() is not None):
+                # first launch of this run (fresh or seeded); a legacy
+                # resume (pre-target-file run dir) keeps target_step=None
+                # and train() falls back to num_iterations-as-total
+                self.target_step = self.global_step + params.num_iterations
+                with open(tpath, "w") as f:
+                    json.dump({"target_step": self.target_step,
+                               "initial_step": self.global_step}, f)
         if self.mesh is not None:
             # explicit replication (the dryrun placement): params/opt_state
             # live on every mesh device so XLA's sharding propagation sees
@@ -460,15 +487,18 @@ class Trainer:
             # (programmatic callers/tests drive incremental training)
             n_iter = num_iterations
         elif p.continue_run and self.global_step > 0:
-            # config knob on a resumed run: num_iterations is the TOTAL
-            # step budget of the experiment (reference semantics [M]) —
-            # a relaunch with the same config trains up to the target and
-            # stops, rather than adding another full budget each restart
-            # (caught live: a supervisor relaunch from step 9000 with
-            # num_iterations=10000 ran merrily past 10000)
-            n_iter = max(0, p.num_iterations - self.global_step)
+            # config knob on a resumed run: train up to the run's recorded
+            # TOTAL-step target (__init__; seeded fine-tunes target
+            # seed_step + num_iterations) and stop, rather than adding
+            # another full budget each restart (caught live: a supervisor
+            # relaunch from step 9000 with num_iterations=10000 ran merrily
+            # past 10000). Legacy run dirs without a target file fall back
+            # to num_iterations-as-total.
+            target = (self.target_step if self.target_step is not None
+                      else p.num_iterations)
+            n_iter = max(0, target - self.global_step)
             log_print(f"continue_run: {n_iter} steps remain to the "
-                      f"num_iterations={p.num_iterations} target")
+                      f"total-step target {target}")
         else:
             n_iter = p.num_iterations
         if hasattr(self.reader, "set_start_step"):

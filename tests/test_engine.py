@@ -383,6 +383,48 @@ def test_seeded_finetune_resume_prefers_own_progress(synth_root, tmp_path):
     assert t3.global_step == 5
 
 
+def test_seeded_finetune_target_survives_relaunch(synth_root, tmp_path):
+    """The run-level TOTAL-step target of a SEEDED fine-tune is
+    seed_step + num_iterations, recorded at first launch — a supervisor
+    relaunch resumes toward THAT target instead of comparing the restored
+    step against num_iterations (caught live r4: a fine-tune seeded at
+    step 8000 with num_iterations=3000 was watchdog-relaunched and resumed
+    as '0 steps remain', silently skipping its last 2000 steps)."""
+    seed_p = _params(synth_root, tmp_path, save_checkpoint_iteration=5)
+    t_seed = Trainer(seed_p, seed=0)
+    t_seed.train(num_iterations=5)
+
+    # first fine-tune launch: budget = 8 steps ON TOP of the seed's 5
+    ft = _params(synth_root, tmp_path, experiment_name="fttgt",
+                 num_iterations=8, save_checkpoint_iteration=3,
+                 load_checkpoint=True,
+                 load_checkpoint_path=seed_p.experiment_save_dir)
+    t1 = Trainer(ft, seed=1)
+    assert t1.target_step == 13
+    t1.train(num_iterations=4)  # interrupted mid-fine-tune (final save: 9)
+
+    # supervisor relaunch: same args + continue_run; default budget must
+    # be target(13) - restored(9), not max(0, 8 - 9) == 0
+    ft2 = _params(synth_root, tmp_path, experiment_name="fttgt",
+                  num_iterations=8, save_checkpoint_iteration=3,
+                  continue_run=True, load_checkpoint=True,
+                  load_checkpoint_path=seed_p.experiment_save_dir)
+    t2 = Trainer(ft2, seed=2)
+    assert t2.target_step == 13
+    assert t2.global_step == 9  # t1's final save
+    t2.train()  # no explicit budget — the continue_run branch decides
+    assert t2.global_step == 13
+
+    # a further relaunch at the target trains 0 more steps (idempotent)
+    ft3 = _params(synth_root, tmp_path, experiment_name="fttgt",
+                  num_iterations=8, save_checkpoint_iteration=3,
+                  continue_run=True, load_checkpoint=True,
+                  load_checkpoint_path=seed_p.experiment_save_dir)
+    t3 = Trainer(ft3, seed=3)
+    t3.train()
+    assert t3.global_step == 13
+
+
 def test_continue_run_finds_latest_run_dir(synth_root, tmp_path):
     """continue_run without load_checkpoint_path must reuse the newest
     experiment dir instead of creating an empty timestamped one (ADVICE r1)."""
