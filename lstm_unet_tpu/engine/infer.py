@@ -656,7 +656,11 @@ def _arm_watchdog(ip: CTCInferenceParams, label: str):
         return None
     from ..utils.watchdog import StallWatchdog
 
-    return StallWatchdog(timeout_s=secs, label=label).start()
+    # 3x grace before the first frame: the first step's remote compile can
+    # legitimately exceed the per-frame timeout (628x690 joint-recipe
+    # program compiled >600 s; a 600 s watchdog killed that healthy eval)
+    return StallWatchdog(timeout_s=secs, label=label,
+                         first_timeout_s=3.0 * secs).start()
 
 
 def run_inference_batched(ip: CTCInferenceParams, sequence_paths, output_paths,

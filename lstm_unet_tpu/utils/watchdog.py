@@ -51,13 +51,22 @@ class StallWatchdog:
     """
 
     def __init__(self, timeout_s: float, label: str = "train",
-                 on_stall: Optional[Callable[[float], None]] = None):
+                 on_stall: Optional[Callable[[float], None]] = None,
+                 first_timeout_s: Optional[float] = None):
         if timeout_s <= 0:
             raise ValueError(f"timeout_s must be > 0, got {timeout_s}")
         self.timeout_s = float(timeout_s)
+        # grace window before the FIRST feed(): the first iteration of a
+        # jitted driver includes the remote-tunnel compile, which produces
+        # no progress signal — a 628x690 joint-recipe program compiled
+        # >600 s on v5e and a 600 s watchdog killed a healthy eval (r4).
+        # After the first feed the normal timeout applies.
+        self.first_timeout_s = (float(first_timeout_s) if first_timeout_s
+                                else self.timeout_s)
         self.label = label
         self._on_stall = on_stall or self._default_on_stall
         self._last = time.monotonic()
+        self._fed_once = False
         self._stop_evt = threading.Event()
         self._thread: Optional[threading.Thread] = None
 
@@ -78,6 +87,7 @@ class StallWatchdog:
 
     def feed(self) -> None:
         self._last = time.monotonic()
+        self._fed_once = True
 
     def stop(self) -> None:
         self._stop_evt.set()
@@ -94,7 +104,8 @@ class StallWatchdog:
         poll = min(self.timeout_s / 4.0, 10.0)
         while not self._stop_evt.wait(poll):
             stalled_for = time.monotonic() - self._last
-            if stalled_for > self.timeout_s:
+            limit = self.timeout_s if self._fed_once else self.first_timeout_s
+            if stalled_for > limit:
                 self._on_stall(stalled_for)
                 return
 

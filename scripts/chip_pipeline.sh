@@ -292,3 +292,49 @@ stage 10_tta_d4 timeout 3600 python -m lstm_unet_tpu.cli.ctc_sweep \
   --tta --tta_mode d4 --score_seg --watchdog_secs 900
 
 echo "=== PIPELINE (appended stages) COMPLETE $(date)"
+
+# --- 11. v4ft completion (appended late r4) --------------------------------
+# Stage 6a was silently truncated at step 9000/11000: the watchdog relaunch
+# resumed under the continue_run total-step bug ("0 steps remain to the
+# 3000 target" — fixed in commit 253fc09; the run dir is armed with
+# target_step.json=11000). Resume to 11000, then recalibrate the joint
+# recipe for THESE weights (thresholds do not transfer between checkpoints;
+# stage 6b's 0.69 eval mean ran the v3bw recipe on half-finetuned weights)
+# and re-eval. Every stage is .ok-gated, so a later relaunch resumes here
+# even if the round ends mid-training (500-step saves).
+stage 11a_v4ft_resume train_v4ft
+V4MODEL=$(ls -d "$SAVE"/v4ft_* 2>/dev/null | sort | tail -1)
+if [ -e "$LOGS/11a_v4ft_resume.ok" ] && [ -n "$V4MODEL" ]; then
+  stage 11b_v4ft_val_dump timeout 1800 python -m lstm_unet_tpu.cli.ctc_sweep \
+    --model_path "$V4MODEL" --root_data_dir "$DATA/train" --seqs 03 \
+    --output_root "$OUT/v4ft_val_dump" --save_intermediate --score_seg \
+    --watchdog_secs 600
+  stage 11c_v4ft_eval_dump timeout 2700 python -m lstm_unet_tpu.cli.ctc_sweep \
+    --model_path "$V4MODEL" --root_data_dir "$DATA/eval" \
+    --output_root "$OUT/v4ft_eval_dump" --save_intermediate --score_seg \
+    --watchdog_secs 600
+  if [ -e "$LOGS/11b_v4ft_val_dump.ok" ] && [ -e "$LOGS/11c_v4ft_eval_dump.ok" ]; then
+    stage 11d_v4ft_recalibrate python scripts/calibrate_recipe.py \
+      --gt_root_val "$DATA/train" --pred_root_val "$OUT/v4ft_val_dump" --val_seqs 03 \
+      --gt_root_eval "$DATA/eval" --pred_root_eval "$OUT/v4ft_eval_dump" \
+      --out "$OUT/v4ft_recipe_calibration.json"
+  fi
+  V4RECIPE="$OUT/v4ft_recipe_calibration.json"
+  [ -e "$V4RECIPE" ] || V4RECIPE="$RECIPE"
+  # soup the COMPLETED fine-tune's last two saves with ITS recipe; overwrite
+  # the stale truncated-save soup at best_v4 (stage 9)
+  V4STEPS2=$(python - "$V4MODEL" <<'PY'
+import os, sys
+from lstm_unet_tpu.checkpoint import resolve_model_dir
+d = resolve_model_dir(sys.argv[1])
+s = sorted(int(x) for x in os.listdir(d) if x.isdigit())
+print(",".join(map(str, s[-2:])))
+PY
+)
+  echo "=== 11e: v4ft soup steps $V4STEPS2 recipe $V4RECIPE"
+  stage 11e_v4ft_soup timeout 3600 python scripts/select_best.py \
+    --model_path "$V4MODEL" --data_root "$DATA" --val_seqs 03 \
+    --steps "$V4STEPS2" --recipe "$V4RECIPE" --best_dir "$SAVE/best_v4" \
+    --out "$OUT/select_best_v4ft_full.json"
+fi
+echo "=== PIPELINE (v4ft completion stages) COMPLETE $(date)"

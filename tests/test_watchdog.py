@@ -40,6 +40,23 @@ def test_feeding_prevents_firing():
         wd.stop()
 
 
+def test_first_timeout_grace_covers_compile():
+    """Before the FIRST feed() the larger first_timeout_s window applies
+    (the first jitted step's remote compile produces no progress signal —
+    a 600 s watchdog killed a healthy 628x690 eval whose compile ran
+    longer, r4); after one feed the normal timeout takes over."""
+    fired = threading.Event()
+    wd = StallWatchdog(0.2, label="t", first_timeout_s=1.0,
+                       on_stall=lambda s: fired.set()).start()
+    try:
+        time.sleep(0.5)  # > timeout_s, < first_timeout_s: must NOT fire
+        assert not fired.is_set(), "fired during the first-compile grace"
+        wd.feed()
+        assert fired.wait(3.0), "normal timeout never engaged after feed"
+    finally:
+        wd.stop()
+
+
 def test_stop_disarms():
     fired = threading.Event()
     wd = StallWatchdog(0.2, label="t",
