@@ -323,21 +323,25 @@ class Trainer:
         # watchdog-relaunched and resumed as "0 steps remain to the 3000
         # target", silently skipping its remaining 2000 steps.
         self.target_step: Optional[int] = None
+        self.initial_step = 0
+        self._target_path: Optional[str] = None
         if not params.dry_run and params.experiment_save_dir:
             tpath = os.path.join(params.experiment_save_dir,
                                  "target_step.json")
+            self._target_path = tpath
             if os.path.exists(tpath):
                 with open(tpath) as f:
-                    self.target_step = int(json.load(f)["target_step"])
+                    rec = json.load(f)
+                self.target_step = int(rec["target_step"])
+                self.initial_step = int(rec.get("initial_step", 0))
             elif not (params.continue_run and self.ckpt is not None
                       and self.ckpt.latest_step() is not None):
                 # first launch of this run (fresh or seeded); a legacy
                 # resume (pre-target-file run dir) keeps target_step=None
                 # and train() falls back to num_iterations-as-total
+                self.initial_step = self.global_step
                 self.target_step = self.global_step + params.num_iterations
-                with open(tpath, "w") as f:
-                    json.dump({"target_step": self.target_step,
-                               "initial_step": self.global_step}, f)
+                self._write_target()
         if self.mesh is not None:
             # explicit replication (the dryrun placement): params/opt_state
             # live on every mesh device so XLA's sharding propagation sees
@@ -347,6 +351,12 @@ class Trainer:
             self.opt_state = jax.device_put(self.opt_state, repl)
 
     # ------------------------------------------------------------------
+
+    def _write_target(self) -> None:
+        if self._target_path:
+            with open(self._target_path, "w") as f:
+                json.dump({"target_step": self.target_step,
+                           "initial_step": self.initial_step}, f)
 
     def _restore(self, path: str) -> None:
         mgr = self.ckpt if not path else CheckpointManager(path)
@@ -494,8 +504,20 @@ class Trainer:
             # relaunch from step 9000 with num_iterations=10000 ran merrily
             # past 10000). Legacy run dirs without a target file fall back
             # to num_iterations-as-total.
-            target = (self.target_step if self.target_step is not None
-                      else p.num_iterations)
+            if self.target_step is not None:
+                # effective target honors BOTH the recorded budget and a
+                # raised num_iterations: a seeded fine-tune keeps its
+                # initial_step+num_iterations target across relaunches,
+                # while relaunching an unseeded run with a bigger
+                # num_iterations still extends it (the established way to
+                # lengthen a run)
+                target = max(self.target_step,
+                             self.initial_step + p.num_iterations)
+                if target > self.target_step:
+                    self.target_step = target
+                    self._write_target()
+            else:
+                target = p.num_iterations  # legacy run dir, no target file
             n_iter = max(0, target - self.global_step)
             log_print(f"continue_run: {n_iter} steps remain to the "
                       f"total-step target {target}")

@@ -424,6 +424,17 @@ def test_seeded_finetune_target_survives_relaunch(synth_root, tmp_path):
     t3.train()
     assert t3.global_step == 13
 
+    # RAISING num_iterations on relaunch still extends the run: effective
+    # target = max(recorded, initial_step + num_iterations) = max(13, 5+10)
+    ft4 = _params(synth_root, tmp_path, experiment_name="fttgt",
+                  num_iterations=10, save_checkpoint_iteration=3,
+                  continue_run=True, load_checkpoint=True,
+                  load_checkpoint_path=seed_p.experiment_save_dir)
+    t4 = Trainer(ft4, seed=4)
+    t4.train()
+    assert t4.global_step == 15
+    assert t4.target_step == 15  # extension persisted for later relaunches
+
 
 def test_continue_run_finds_latest_run_dir(synth_root, tmp_path):
     """continue_run without load_checkpoint_path must reuse the newest
