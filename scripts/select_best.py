@@ -30,6 +30,7 @@ through the tunnel, compile-dominated).
 from __future__ import annotations
 
 import argparse
+import hashlib
 import json
 import os
 import re
@@ -39,28 +40,58 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SEG_RE = re.compile(r"SEG (\S+): ([0-9.]+)")
+DET_RE = re.compile(r"DET (\S+): ([0-9.]+)")
+
+
+def _sweep_fingerprint(model_path: str, recipe: str, ckpt_step: int,
+                       dtype: str, calibrate: int) -> dict:
+    """Identity of the inputs a cached sweep's scores depend on.
+
+    ADVICE r4 (medium): the cache used to be keyed on the output dir alone,
+    so a stage that deliberately re-runs with a NEW recipe (11e recalibrated
+    v4ft selection) or refreshed weights at the same step silently got the
+    OLD recipe's scores back. The recipe is hashed by content (calibration
+    outputs are regenerated at the same path); the model by path + step
+    (step dirs are immutable once written — a rebuilt soup changes the
+    constituents tag in the work-dir name instead).
+    """
+    recipe_sha = ""
+    if recipe:
+        with open(recipe, "rb") as f:
+            recipe_sha = hashlib.sha256(f.read()).hexdigest()[:16]
+    return {"model_path": os.path.abspath(model_path),
+            "recipe_sha": recipe_sha, "ckpt_step": ckpt_step,
+            "dtype": dtype, "calibrate": calibrate}
 
 
 def run_sweep(model_path: str, data_root: str, output_root: str,
               recipe: str, seqs: str = "", ckpt_step: int = 0,
               dtype: str = "", calibrate: int = 0,
               timeout: int = 2700) -> dict:
-    """One ctc_sweep subprocess; returns {seq_dir: SEG} parsed from its log.
+    """One ctc_sweep subprocess; returns {"seg": {seq: SEG}, "det": {seq: DET}}.
 
     Scores are cached in <output_root>/seg_scores.json: rerunning after a
     preemption (bench.py evicts the chip lease mid-stage) skips sweeps that
     already completed instead of paying ~15 min of chip time each again.
+    The cache carries a fingerprint of (model, recipe content, step, dtype,
+    calibrate); a mismatch — or a legacy fingerprint-less cache — re-runs
+    the sweep instead of returning scores from different inputs.
     """
+    fp = _sweep_fingerprint(model_path, recipe, ckpt_step, dtype, calibrate)
     cache = os.path.join(output_root, "seg_scores.json")
     if os.path.exists(cache):
         with open(cache) as f:
             cached = json.load(f)
-        if cached:
+        if (isinstance(cached, dict) and cached.get("fingerprint") == fp
+                and cached.get("seg")):
             print(f"select_best: cached scores for {output_root}", flush=True)
-            return cached
+            return {"seg": cached["seg"], "det": cached.get("det", {})}
+        print(f"select_best: STALE cache for {output_root} "
+              "(fingerprint mismatch or legacy format) — re-running",
+              flush=True)
     cmd = [sys.executable, "-m", "lstm_unet_tpu.cli.ctc_sweep",
            "--model_path", model_path, "--root_data_dir", data_root,
-           "--output_root", output_root, "--score_seg",
+           "--output_root", output_root, "--score_seg", "--score_det",
            "--watchdog_secs", "600"]
     if recipe:
         cmd += ["--recipe", recipe]
@@ -77,12 +108,14 @@ def run_sweep(model_path: str, data_root: str, output_root: str,
     sys.stderr.write(r.stdout[-2000:] + r.stderr[-1000:])
     if r.returncode != 0:
         raise RuntimeError(f"ctc_sweep rc={r.returncode}: {' '.join(cmd)}")
-    scores = {m.group(1): float(m.group(2))
-              for m in SEG_RE.finditer(r.stdout)}
-    if scores:
+    scores = {"seg": {m.group(1): float(m.group(2))
+                      for m in SEG_RE.finditer(r.stdout)},
+              "det": {m.group(1): float(m.group(2))
+                      for m in DET_RE.finditer(r.stdout)}}
+    if scores["seg"]:
         os.makedirs(output_root, exist_ok=True)
         with open(cache, "w") as f:
-            json.dump(scores, f)
+            json.dump({"fingerprint": fp, **scores}, f)
     return scores
 
 
@@ -90,8 +123,11 @@ def kendall_tau(pairs):
     """Kendall tau-a between two paired score lists.
 
     ``pairs`` = [(a_i, b_i), ...]; returns (tau, concordant, discordant).
-    Ties count as neither. +1 = identical ordering, -1 = fully inverted —
-    the round-3 val-rank inversions would have shown tau <= 0 here.
+    Tau-a divides by ALL n(n-1)/2 pairs, so ties lower the score instead of
+    being dropped (ADVICE r4: the previous (C-D)/(C+D) was Goodman-Kruskal
+    gamma, which overstates agreement under ties). +1 = identical ordering,
+    -1 = fully inverted — the round-3 val-rank inversions would have shown
+    tau <= 0 here.
     """
     conc = disc = 0
     n = len(pairs)
@@ -100,7 +136,7 @@ def kendall_tau(pairs):
             s = (pairs[i][0] - pairs[j][0]) * (pairs[i][1] - pairs[j][1])
             conc += s > 0
             disc += s < 0
-    return (conc - disc) / max(conc + disc, 1), conc, disc
+    return (conc - disc) / max(n * (n - 1) // 2, 1), conc, disc
 
 
 def main() -> None:
@@ -163,9 +199,10 @@ def main() -> None:
     n_val = len([s for s in args.val_seqs.split(",") if s.strip()])
     ranking = []
     for s in steps:
-        scores = run_sweep(args.model_path, os.path.join(args.data_root, "train"),
-                           os.path.join(work, f"val_{s}"), args.recipe,
-                           seqs=args.val_seqs, ckpt_step=s)
+        sw = run_sweep(args.model_path, os.path.join(args.data_root, "train"),
+                       os.path.join(work, f"val_{s}"), args.recipe,
+                       seqs=args.val_seqs, ckpt_step=s)
+        scores = sw["seg"]
         if len(scores) != n_val:
             # A missing sequence/GT must not silently shrink the val set:
             # single-sequence ranking is exactly the round-3 inversion
@@ -174,13 +211,33 @@ def main() -> None:
                 f"step {s}: {len(scores)} SEG scores for {n_val} requested "
                 f"val sequences ({args.val_seqs}) — got {sorted(scores)}")
         mean = sum(scores.values()) / len(scores)
-        ranking.append({"step": s, "val_mean": round(mean, 4),
-                        "per_seq": {k: round(v, 4) for k, v in scores.items()}})
-        print(f"select_best: step {s} val mean {mean:.4f}", flush=True)
+        row = {"step": s, "val_mean": round(mean, 4),
+               "per_seq": {k: round(v, 4) for k, v in scores.items()}}
+        if sw["det"]:
+            # DET rides along as the second selection signal (VERDICT r4
+            # #6): recorded next to SEG so SEG-vs-DET disagreement is
+            # visible wherever ranking decisions are audited. Ranking stays
+            # on SEG until a recorded disagreement shows DET catching an
+            # inversion SEG missed.
+            row["val_det_mean"] = round(
+                sum(sw["det"].values()) / len(sw["det"]), 4)
+            row["per_seq_det"] = {k: round(v, 4)
+                                  for k, v in sw["det"].items()}
+        ranking.append(row)
+        print(f"select_best: step {s} val mean {mean:.4f}"
+              + (f" det {row['val_det_mean']:.4f}" if sw["det"] else ""),
+              flush=True)
     ranking.sort(key=lambda r: -r["val_mean"])
     best_two = sorted(r["step"] for r in ranking[:2])
 
     summary = {"val_ranking": ranking, "soup_steps": best_two}
+    det_pairs = [(r["val_mean"], r["val_det_mean"])
+                 for r in ranking if "val_det_mean" in r]
+    if len(det_pairs) == len(ranking) and len(ranking) > 1:
+        tau_sd, _, _ = kendall_tau(det_pairs)
+        summary["val_seg_det_tau"] = round(tau_sd, 3)
+        print(f"select_best: val SEG-vs-DET Kendall tau = {tau_sd:+.3f}",
+              flush=True)
 
     # --- diagnostic: val-vs-eval rank agreement (soup already chosen) ------
     if args.eval_rank:
@@ -188,7 +245,7 @@ def main() -> None:
             es = run_sweep(args.model_path,
                            os.path.join(args.data_root, "eval"),
                            os.path.join(work, f"evalrank_{r['step']}"),
-                           args.recipe, ckpt_step=r["step"])
+                           args.recipe, ckpt_step=r["step"])["seg"]
             if not es:
                 raise RuntimeError(f"eval_rank step {r['step']}: no SEG "
                                    "scores parsed — refusing to record 0.0")
@@ -226,10 +283,11 @@ def main() -> None:
 
         # confirm ONCE on eval (pre-registered winner — no eval ranking)
         soup_tag = "_".join(map(str, best_two))  # cache key tracks the soup
-        eval_scores = run_sweep(build,
-                                os.path.join(args.data_root, "eval"),
-                                os.path.join(work, f"eval_soup_{soup_tag}"),
-                                args.recipe)
+        soup_sw = run_sweep(build,
+                            os.path.join(args.data_root, "eval"),
+                            os.path.join(work, f"eval_soup_{soup_tag}"),
+                            args.recipe)
+        eval_scores = soup_sw["seg"]
         if not eval_scores:
             raise RuntimeError("soup eval confirm parsed no SEG scores "
                                "(eval GT missing?) — refusing to record 0.0")
@@ -237,6 +295,9 @@ def main() -> None:
             sum(eval_scores.values()) / len(eval_scores), 4)
         summary["eval_soup_per_seq"] = {
             k: round(v, 4) for k, v in eval_scores.items()}
+        if soup_sw["det"]:
+            summary["eval_soup_det_mean"] = round(
+                sum(soup_sw["det"].values()) / len(soup_sw["det"]), 4)
         print(f"select_best: soup{best_two} eval mean "
               f"{summary['eval_soup_mean']:.4f}", flush=True)
 
@@ -254,7 +315,7 @@ def main() -> None:
                     os.remove(cache)
             int8_scores = run_sweep(
                 build, os.path.join(args.data_root, "eval"),
-                int8_work, args.recipe, dtype="int8", calibrate=16)
+                int8_work, args.recipe, dtype="int8", calibrate=16)["seg"]
             if not int8_scores:
                 raise RuntimeError("soup int8 confirm parsed no SEG scores "
                                    "— refusing to record 0.0")

@@ -76,8 +76,10 @@ def test_select_best_ranks_soups_prunes(tmp_path, monkeypatch):
                       dtype, calibrate))
         if ckpt_step:  # ranking pass on val
             m = val_mean[ckpt_step]
-            return {"val/03": m + 0.01, "val/10": m - 0.01}
-        return {"eval/01": 0.92, "eval/02": 0.91, "eval/03": 0.93}
+            return {"seg": {"val/03": m + 0.01, "val/10": m - 0.01},
+                    "det": {"val/03": m, "val/10": m - 0.02}}
+        return {"seg": {"eval/01": 0.92, "eval/02": 0.91, "eval/03": 0.93},
+                "det": {"eval/01": 0.95}}
 
     monkeypatch.setattr(sb, "run_sweep", fake_sweep)
     monkeypatch.setattr(sys, "argv", [
@@ -91,6 +93,11 @@ def test_select_best_ranks_soups_prunes(tmp_path, monkeypatch):
     assert s["soup_steps"] == [7000, 8000]
     assert [r["step"] for r in s["val_ranking"]] == [7000, 8000, 7500, 6500]
     assert s["eval_soup_mean"] == 0.92
+    # DET rides along: per-step val DET means + the SEG-vs-DET rank
+    # agreement diagnostic (here DET ranks identically -> tau = 1)
+    assert all("val_det_mean" in r for r in s["val_ranking"])
+    assert s["val_seg_det_tau"] == 1.0
+    assert s["eval_soup_det_mean"] == 0.95
 
     # durable artifact: standalone model dir loadable by the inference path
     assert os.path.exists(os.path.join(best_dir, "model_params.json"))
@@ -124,7 +131,8 @@ def test_select_best_no_scores_fails_loud(tmp_path, monkeypatch):
     run = _fake_run(tmp_path, make_ckpt_steps=(500,))
     data = tmp_path / "heldout"
     (data / "train").mkdir(parents=True)
-    monkeypatch.setattr(sb, "run_sweep", lambda *a, **k: {})
+    monkeypatch.setattr(sb, "run_sweep",
+                        lambda *a, **k: {"seg": {}, "det": {}})
     monkeypatch.setattr(sys, "argv", [
         "select_best.py", "--model_path", str(run), "--data_root", str(data)])
     with pytest.raises(RuntimeError, match="SEG scores"):
@@ -140,8 +148,9 @@ def test_select_best_partial_val_set_fails_loud(tmp_path, monkeypatch):
     run = _fake_run(tmp_path, make_ckpt_steps=(500,))
     data = tmp_path / "heldout"
     (data / "train").mkdir(parents=True)
-    monkeypatch.setattr(sb, "run_sweep",
-                        lambda *a, **k: {"train/Synth-N2DH-SIM/03": 0.9})
+    monkeypatch.setattr(
+        sb, "run_sweep",
+        lambda *a, **k: {"seg": {"train/Synth-N2DH-SIM/03": 0.9}, "det": {}})
     monkeypatch.setattr(sys, "argv", [
         "select_best.py", "--model_path", str(run), "--data_root", str(data),
         "--val_seqs", "03,10"])
@@ -161,21 +170,53 @@ def test_kendall_tau_orderings():
     # fully inverted (the round-3 val-rank-inversion signature)
     tau, c, d = sb.kendall_tau([(1, 30), (2, 20), (3, 10)])
     assert (tau, c, d) == (-1.0, 0, 3)
-    # ties contribute to neither side
+    # tau-a: ties lower the score (2 concordant of 3 total pairs), unlike
+    # the gamma this replaced which ignored them (ADVICE r4)
     tau, c, d = sb.kendall_tau([(1, 10), (1, 20), (2, 30)])
-    assert c == 2 and d == 0 and tau == 1.0
+    assert c == 2 and d == 0 and tau == pytest.approx(2 / 3)
 
 
 def test_run_sweep_score_cache(tmp_path):
     sb = _load_module()
     out_root = tmp_path / "val_8000"
     out_root.mkdir()
-    cached = {"runs/heldout/train/Synth-N2DH-SIM/03": 0.91}
-    (out_root / "seg_scores.json").write_text(json.dumps(cached))
+    seg = {"runs/heldout/train/Synth-N2DH-SIM/03": 0.91}
+    fp = sb._sweep_fingerprint("/nonexistent/model", "", 0, "", 0)
+    (out_root / "seg_scores.json").write_text(
+        json.dumps({"fingerprint": fp, "seg": seg, "det": {}}))
     # the command would fail instantly if executed — the cache must win
     scores = sb.run_sweep("/nonexistent/model", "/nonexistent/data",
                           str(out_root), recipe="")
-    assert scores == cached
+    assert scores == {"seg": seg, "det": {}}
+
+
+def test_run_sweep_stale_cache_reruns(tmp_path):
+    # ADVICE r4 medium: a cache produced under DIFFERENT inputs (legacy
+    # fingerprint-less format, or another recipe/step/dtype) must NOT be
+    # returned — the sweep re-runs (and here fails loud on the fake model
+    # path, proving the cache was bypassed).
+    sb = _load_module()
+
+    # legacy flat format
+    out_root = tmp_path / "val_legacy"
+    out_root.mkdir()
+    (out_root / "seg_scores.json").write_text(json.dumps({"val/03": 0.9}))
+    with pytest.raises(Exception):  # rc!=0 or TimeoutExpired — either proves the re-run
+        sb.run_sweep("/nonexistent/model", "/nonexistent/data",
+                     str(out_root), recipe="", timeout=5)
+
+    # fingerprint mismatch: same dir, different recipe content
+    out_root2 = tmp_path / "val_recipe"
+    out_root2.mkdir()
+    recipe_a = tmp_path / "a.json"
+    recipe_a.write_text(json.dumps({"cell_thresh": 0.55}))
+    fp_a = sb._sweep_fingerprint("/nonexistent/model", str(recipe_a), 0, "", 0)
+    (out_root2 / "seg_scores.json").write_text(
+        json.dumps({"fingerprint": fp_a, "seg": {"val/03": 0.9}, "det": {}}))
+    recipe_a.write_text(json.dumps({"cell_thresh": 0.60}))  # recalibrated
+    with pytest.raises(Exception):  # rc!=0 or TimeoutExpired — either proves the re-run
+        sb.run_sweep("/nonexistent/model", "/nonexistent/data",
+                     str(out_root2), recipe=str(recipe_a), timeout=5)
 
 
 def test_failed_rerun_preserves_previous_best_artifact(tmp_path, monkeypatch):
@@ -194,8 +235,9 @@ def test_failed_rerun_preserves_previous_best_artifact(tmp_path, monkeypatch):
     def fake_sweep(model_path, data_root, output_root, recipe_arg,
                    seqs="", ckpt_step=0, dtype="", calibrate=0, timeout=0):
         if ckpt_step:
-            return {"val/03": 0.9, "val/10": 0.9}
-        return {}  # eval confirm parses nothing -> must raise, not swap
+            return {"seg": {"val/03": 0.9, "val/10": 0.9}, "det": {}}
+        # eval confirm parses nothing -> must raise, not swap
+        return {"seg": {}, "det": {}}
 
     monkeypatch.setattr(sb, "run_sweep", fake_sweep)
     monkeypatch.setattr(sys, "argv", [
