@@ -36,15 +36,41 @@ import jax.numpy as jnp
 CPU_BASELINE_FPS = 0.0297
 
 
+def _apply_probe(nkp, probe: str):
+    """Config-only roofline probes (VERDICT r4 #8): clone the flagship with
+    one region narrowed and bench UNTRAINED weights — a pure throughput
+    probe locating where the 33->40 fps gap lives, never a quality claim.
+
+    - half_enc0: encoder level 0 (ConvLSTM + down convs) channels halved —
+      the full-resolution 512^2 encoder level, the biggest HBM working set
+    - half_dec0: decoder level 0 conv stack halved — the full-resolution
+      decoder level
+    - half_l0:   both of the above
+    """
+    def halve(levels, i):
+        levels[i] = [(k, f // 2) for k, f in levels[i]]
+
+    if probe in ("half_enc0", "half_l0"):
+        halve(nkp.lstm_kernels, 0)
+        halve(nkp.down_conv_kernels, 0)
+    if probe in ("half_dec0", "half_l0"):
+        halve(nkp.up_conv_kernels, 0)
+    if probe and probe not in ("half_enc0", "half_dec0", "half_l0"):
+        raise ValueError(f"unknown probe {probe!r}")
+    return nkp
+
+
 def build_pipeline(size: int, dtype: str, tiny: bool, fused_cell: bool = False,
                    calibrated: bool = False, ccl_method: str = "sweep",
                    batch: int = 1, entry_layouts: bool = False,
-                   int8_keep_float: str = ""):
+                   int8_keep_float: str = "", probe: str = ""):
     from lstm_unet_tpu.config import default_net_kernel_params, tiny_net_kernel_params
     from lstm_unet_tpu.models import ModelConfig, ULSTMnet2D
     from lstm_unet_tpu.ops.postprocess import postprocess_frame
 
     nkp = tiny_net_kernel_params() if tiny else default_net_kernel_params()
+    if probe:
+        nkp = _apply_probe(nkp, probe)
     # 'int8': conv MXU ops int8xint8->int32 with dequant epilogues, bf16
     # elsewhere (ops/quant.py) — same mapping as engine.infer.load_model
     quant = "int8" if dtype == "int8" else "none"
@@ -389,6 +415,11 @@ def main():
                          "bf16 inference and the training step; 'dots' "
                          "replaces conv layout assignment (and the "
                          "conv-transpose grads in BPTT) with plain matmuls")
+    ap.add_argument("--probe", type=str, default="",
+                    choices=["", "half_enc0", "half_dec0", "half_l0"],
+                    help="roofline probe: bench a config-only clone with the "
+                         "named full-res region's channels halved (untrained "
+                         "weights — throughput attribution only)")
     args = ap.parse_args()
 
     if args.int8_conv != "conv":
@@ -432,7 +463,7 @@ def run_bench(args):
     step, state = build_pipeline(args.size, args.dtype, args.tiny,
                                  args.fused_cell, args.calibrated, args.ccl,
                                  args.batch, args.entry_layouts,
-                                 args.int8_keep_float)
+                                 args.int8_keep_float, args.probe)
     frames = make_frames(min(args.frames, 16), args.size, args.batch)
     dev_frames = [jax.device_put(jnp.asarray(f)) for f in frames]
 
@@ -454,10 +485,11 @@ def run_bench(args):
     fps = args.frames * args.batch / dt
     lanes = (f", {args.batch} concurrent streams aggregate"
              if args.batch > 1 else "")
+    probe_tag = f", PROBE {args.probe}" if args.probe else ""
     out = {
         "metric": f"streaming inference frames/sec/chip @ {args.size}x{args.size} "
                   f"(flagship ULSTMnet2D, {args.dtype}, on-device postprocess"
-                  f"{lanes})",
+                  f"{lanes}{probe_tag})",
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / CPU_BASELINE_FPS, 3),

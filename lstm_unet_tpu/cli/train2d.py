@@ -92,6 +92,15 @@ def build_parser() -> argparse.ArgumentParser:
                          "of per-step conv-kernel copies; single-device)")
     ap.add_argument("--gt_is_full_seg", type=lambda s: s.lower() == "true",
                     default=None, help="override the full-annotation heuristic")
+    ap.add_argument("--data_provider_class", type=str,
+                    choices=["CTCRAMReaderSequence2D",
+                             "GrainCTCReaderSequence2D"],
+                    help="training reader (engine.train.DATA_PROVIDERS): the "
+                         "threaded per-lane queue reader (reference parity) "
+                         "or the deterministic grain pipeline whose "
+                         "batch(step) is a pure function of (seed, step) — "
+                         "watchdog/OOM relaunches REPLAY the stream instead "
+                         "of restarting the traversal schedule")
     ap.add_argument("--recipe", type=str, default=None,
                     help="knob recipe JSON (configs/recommended.json); "
                          "training keys it carries (e.g. class_weights) "

@@ -338,3 +338,100 @@ PY
     --out "$OUT/select_best_v4ft_full.json"
 fi
 echo "=== PIPELINE (v4ft completion stages) COMPLETE $(date)"
+
+# === ROUND 5 stages (appended while the r4 tail runs; bash reads scripts
+# === lazily so EOF-appends execute; .ok markers keep relaunches idempotent).
+# Order: cheap bounded measurements first (batch knee, grain A/B, roofline
+# probes — VERDICT r4 #5/#3/#8), then the long 2-seed retrain sweep
+# (VERDICT r4 #2) whose tail stages are the planned casualty if the round
+# ends mid-queue (training saves every 1000 steps; selects are cached).
+
+# 12. training batch knee: B5->B8 was +66% at ~equal step time (MFU 11.6%);
+# does it stay sublinear to B12/B16? A compile-time HBM OOM is itself the
+# datum (the stage records FAILED — that is the HBM verdict for the row).
+stage 12a_knee_B12T7 timeout 1800 python bench.py --mode train --train_batch 12 --mfu
+stage 12b_knee_B16T7 timeout 1800 python bench.py --mode train --train_batch 16 --mfu
+
+# 13. grain-vs-threaded reader A/B on chip (the gate for adopting the
+# deterministic provider in the seed sweep): 300 identical steps each;
+# steps/s comes from the per-100-step log timestamps.
+grain_ab() {
+  local provider=$1 name=$2
+  timeout 2400 python -m lstm_unet_tpu.cli.train2d \
+    --root_data_dir "$DATA/train" \
+    --train_sequence_list "Synth-N2DH-SIM:01,Synth-N2DH-SIM:02,Synth-N2DH-SIM:04,Synth-N2DH-SIM:05,Synth-N2DH-SIM:06,Synth-N2DH-SIM:07,Synth-N2DH-SIM:08,Synth-N2DH-SIM:09" \
+    --val_sequence_list "Synth-N2DH-SIM:03" \
+    --class_weights 0.1 0.25 0.65 \
+    --batch_size 5 --unroll_len 7 --crop_size 256 256 \
+    --dtype bfloat16 \
+    --num_iterations 300 \
+    --save_checkpoint_iteration 100000 \
+    --validation_interval 100000 \
+    --data_provider_class "$provider" \
+    --root_save_dir "$OUT/grain_ab" --experiment_name "$name" --seed 5 \
+    --watchdog_secs 900
+}
+stage 13a_grainab_threaded grain_ab CTCRAMReaderSequence2D thr
+stage 13b_grainab_grain grain_ab GrainCTCReaderSequence2D grn
+
+# 15. streaming roofline probes (config-only clones, untrained weights):
+# where does the 33->40 gap live? Control + each full-res region halved.
+# (Numbered 15 but run before the seed sweep: bounded, and the "perf chapter
+# closed" verdict depends on them.)
+stage 15a_probe_ctl       timeout 1200 python bench.py --no-train_too
+stage 15b_probe_half_dec0 timeout 1200 python bench.py --no-train_too --probe half_dec0
+stage 15c_probe_half_enc0 timeout 1200 python bench.py --no-train_too --probe half_enc0
+stage 15d_probe_half_l0   timeout 1200 python bench.py --no-train_too --probe half_l0
+
+# 14. 2-seed v3bw retrain sweep, grain provider (VERDICT r4 #2+#3): every
+# quality number so far is one trajectory with measured ~0.06 spread. Same
+# recipe, seeds 1/2, deterministic reader so relaunches REPLAY the stream.
+# Selection uses the round's stage-3 recipe (calibrated on the r4 seed-0
+# weights) FIXED across seeds: a consistent postprocess isolates training
+# variance; per-seed recalibration is the shippable-number refinement and
+# is deliberately out of scope for the spread measurement.
+seed_train() {
+  local seed=$1 name=$2
+  local extra=()
+  if ls -d "$SAVE/${name}"_* >/dev/null 2>&1; then
+    extra+=(--continue_run)
+  fi
+  bash scripts/run_v3bw.sh "$DATA" "$SAVE" \
+    --save_checkpoint_iteration 1000 \
+    --data_provider_class GrainCTCReaderSequence2D \
+    --seed "$seed" --experiment_name "$name" "${extra[@]}"
+}
+stage 14a_train_s1 seed_train 1 v3s1
+S1MODEL=$(ls -d "$SAVE"/v3s1_* 2>/dev/null | sort | tail -1)
+if [ -e "$LOGS/14a_train_s1.ok" ] && [ -n "$S1MODEL" ]; then
+  stage 14b_select_s1 timeout 10800 python scripts/select_best.py \
+    --model_path "$S1MODEL" --data_root "$DATA" --val_seqs 03,10 \
+    --recipe "$RECIPE" --best_dir "$SAVE/best_s1" --skip_int8 \
+    --out "$OUT/select_best_s1.json"
+fi
+stage 14c_train_s2 seed_train 2 v3s2
+S2MODEL=$(ls -d "$SAVE"/v3s2_* 2>/dev/null | sort | tail -1)
+if [ -e "$LOGS/14c_train_s2.ok" ] && [ -n "$S2MODEL" ]; then
+  stage 14d_select_s2 timeout 10800 python scripts/select_best.py \
+    --model_path "$S2MODEL" --data_root "$DATA" --val_seqs 03,10 \
+    --recipe "$RECIPE" --best_dir "$SAVE/best_s2" --skip_int8 \
+    --out "$OUT/select_best_s2.json"
+fi
+
+# 14e/f. the val-vs-eval Kendall-tau diagnostic on real saves (VERDICT r4
+# #7): re-invokes select_best with --eval_rank; val sweeps + soup evals are
+# fingerprint-cached from 14b/14d, so each costs ONLY the per-step eval
+# sweeps. Never used for selection.
+if [ -e "$LOGS/14b_select_s1.ok" ] && [ -n "$S1MODEL" ]; then
+  stage 14e_evalrank_s1 timeout 10800 python scripts/select_best.py \
+    --model_path "$S1MODEL" --data_root "$DATA" --val_seqs 03,10 \
+    --recipe "$RECIPE" --best_dir "$SAVE/best_s1" --skip_int8 --eval_rank \
+    --out "$OUT/select_best_s1_evalrank.json"
+fi
+if [ -e "$LOGS/14d_select_s2.ok" ] && [ -n "$S2MODEL" ]; then
+  stage 14f_evalrank_s2 timeout 10800 python scripts/select_best.py \
+    --model_path "$S2MODEL" --data_root "$DATA" --val_seqs 03,10 \
+    --recipe "$RECIPE" --best_dir "$SAVE/best_s2" --skip_int8 --eval_rank \
+    --out "$OUT/select_best_s2_evalrank.json"
+fi
+echo "=== PIPELINE (round-5 stages) COMPLETE $(date)"
