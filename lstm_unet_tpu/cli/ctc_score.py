@@ -73,12 +73,26 @@ def main(argv=None) -> None:
         if args.det:
             gts, preds = _aligned_gt_pred(os.path.join(gt_base, "TRA"),
                                           "man_track*.tif", res_dir)
+            det_gt = "TRA"
             if not gts:
                 gts, preds = _aligned_gt_pred(os.path.join(gt_base, "SEG"),
                                               "man_seg*.tif", res_dir)
+                det_gt = "SEG-fallback"
             if gts:
                 entry["det"] = det_measure_sequence(gts, preds)
                 entry["det_frames"] = len(gts)
+                entry["det_gt"] = det_gt
+                if det_gt == "SEG-fallback":
+                    # ADVICE r4: real CTC SEG GT can be PARTIALLY annotated
+                    # within a frame — every correctly-detected-but-
+                    # unannotated cell then counts as a DET false positive
+                    # (SEG's per-GT-object scoring is immune; DET's FP term
+                    # is not). Dense synthetic GT is safe; real data needs
+                    # TRA markers for a faithful DET.
+                    log_print(f"DET {ds}/{seq}: no TRA markers — scoring "
+                              "against SEG GT (caveat: partial SEG "
+                              "annotation deflates DET via spurious FPs; "
+                              "det_gt='SEG-fallback' recorded)")
                 log_print(f"DET {ds}/{seq}: {entry['det']:.4f} "
                           f"({len(gts)} annotated frames)")
         if entry:

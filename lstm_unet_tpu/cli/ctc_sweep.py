@@ -86,8 +86,13 @@ def apply_recipe(ap, args, argv=None) -> dict:
     toks = {t.split("=", 1)[0] for t in
             (argv if argv is not None else sys.argv[1:])
             if t.startswith("--")}
+    # argparse accepts unambiguous prefix abbreviations (--recip ==
+    # --recipe), so explicit-flag detection must too (ADVICE r4): a token
+    # counts as naming an option when it is a prefix of the option string.
+    # An AMBIGUOUS prefix never reaches here — parse_args errors out first.
     explicit = {a.dest for a in ap._actions
-                if any(o in toks for o in a.option_strings)}
+                if any(o.startswith(t) for o in a.option_strings
+                       for t in toks if len(t) > 2)}
     applied = {k: v for k, v in recipe.items() if k not in explicit}
     for k, v in applied.items():
         setattr(args, k, v)

@@ -271,7 +271,7 @@ fi
 # 10. D4 test-time-augmentation A/B on the better soup (the r3 phaseQ TTA
 # stages were lost to the /tmp wipe and never ran). One pre-registered
 # config on eval: the chosen joint recipe + --tta_mode d4 (8 variants).
-TTA_MODEL="$SAVE/best"
+# both-missing -> best
 TTA_MODEL=$(python - "$OUT" "$SAVE" <<'PY'
 import json, os, sys
 out, save = sys.argv[1], sys.argv[2]
@@ -282,7 +282,7 @@ def mean(p):
         return -1
 v3 = mean(os.path.join(out, "select_best.json"))
 v4 = mean(os.path.join(out, "select_best_v4ft.json"))
-print(os.path.join(save, "best_v4") if v4 >= v3 else os.path.join(save, "best"))
+print(save+"/best_v4" if v4 >= max(v3, 0) else save+"/best")                    
 PY
 )
 echo "=== 10: TTA on $TTA_MODEL"

@@ -243,3 +243,25 @@ def test_apply_recipe_eq_form_counts_as_explicit(tmp_path):
     args = ap.parse_args(argv)
     apply_recipe(ap, args, argv)
     assert args.cell_thresh == 0.6
+
+
+def test_apply_recipe_prefix_abbrev_counts_as_explicit(tmp_path):
+    # ADVICE r4: argparse accepts unambiguous prefix abbreviations
+    # (--cell_th for --cell_thresh); an abbreviated-but-explicit flag must
+    # still beat the recipe key
+    import argparse
+    import json
+
+    from lstm_unet_tpu.cli.ctc_sweep import apply_recipe
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--recipe", default="")
+    ap.add_argument("--cell_thresh", type=float, default=0.5)
+    ap.add_argument("--size_filter", default="pre")
+    f = tmp_path / "recipe.json"
+    f.write_text(json.dumps({"cell_thresh": 0.55, "size_filter": "post"}))
+    argv = ["--recipe", str(f), "--cell_th=0.6"]
+    args = ap.parse_args(argv)
+    apply_recipe(ap, args, argv)
+    assert args.cell_thresh == 0.6          # abbreviated explicit flag wins
+    assert args.size_filter == "post"       # untouched key still filled

@@ -77,3 +77,18 @@ def test_no_gt_exits_loudly(dataset, tmp_path):
     _write_preds(dataset, pred)
     with pytest.raises(SystemExit):
         main(["--pred_root", pred, "--gt_root", str(tmp_path / "nowhere")])
+
+
+def test_det_seg_fallback_recorded(dataset, tmp_path, capsys):
+    # no TRA markers in the synthetic layout -> DET scores against SEG GT
+    # and must SAY so (ADVICE r4: partial SEG annotation deflates DET's FP
+    # term on real data; the fallback is only safe for dense GT)
+    pred = str(tmp_path / "pred")
+    _write_preds(dataset, pred)
+    out = str(tmp_path / "scores.json")
+    main(["--gt_root", dataset, "--pred_root", pred, "--det",
+          "--json", out])
+    s = json.load(open(out))
+    seq = [v for k, v in s.items() if not k.startswith("mean_")][0]
+    assert seq["det_gt"] == "SEG-fallback"
+    assert "SEG-fallback" in capsys.readouterr().out
