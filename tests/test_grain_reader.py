@@ -82,3 +82,74 @@ def test_grain_trainer_integration(synth_root, tmp_path):
     first = t.train(num_iterations=2)
     late = t.train(num_iterations=40)
     assert late["loss"] < first["loss"]
+
+
+def test_grain_relaunch_replays_stream_threaded_does_not(synth_root, tmp_path,
+                                                         monkeypatch):
+    """Trainer-level replay (VERDICT r4 #3 done-criterion, CPU mechanism
+    pin): a continue_run relaunch with the grain provider consumes EXACTLY
+    the batches the uninterrupted run would have consumed at the same step
+    indices (Trainer passes set_start_step(global_step) after restore).
+    The threaded reader demonstrably cannot — its relaunch restarts the
+    traversal schedule from the beginning.
+    """
+    import hashlib
+
+    from lstm_unet_tpu.engine import train as train_mod
+    from lstm_unet_tpu.engine.train import Trainer
+    from lstm_unet_tpu.io.dataset import CTCRAMReaderSequence2D
+
+    rec = {"cur": []}
+
+    def recording(base):
+        class Recording(base):
+            def get_batch(self):
+                b = super().get_batch()
+                rec["cur"].append(hashlib.sha1(
+                    np.ascontiguousarray(b[0]).tobytes()).hexdigest())
+                return b
+        return Recording
+
+    monkeypatch.setitem(train_mod.DATA_PROVIDERS,
+                        "GrainCTCReaderSequence2D",
+                        recording(GrainCTCReaderSequence2D))
+    monkeypatch.setitem(train_mod.DATA_PROVIDERS,
+                        "CTCRAMReaderSequence2D",
+                        recording(CTCRAMReaderSequence2D))
+
+    def run(provider, name, segments):
+        """Train ``segments`` (list of step counts) with a fresh Trainer per
+        segment (relaunch semantics: continue_run after the first)."""
+        hashes = []
+        base = dict(dry_run=False, learning_rate=3e-3,
+                    root_save_dir=str(tmp_path / name),
+                    data_provider_class=provider,
+                    print_to_console_interval=10**6,
+                    validation_interval=10**6,
+                    save_checkpoint_iteration=5, write_to_tb_interval=10**6)
+        dirs = {}
+        for i, n in enumerate(segments):
+            kw = dict(base)
+            if i > 0:
+                kw["continue_run"] = True
+            p = _params(synth_root, **kw)
+            if i > 0:
+                p.experiment_log_dir = dirs["log"]
+                p.experiment_save_dir = dirs["save"]
+            t = Trainer(p, seed=0)
+            dirs = {"log": p.experiment_log_dir, "save": p.experiment_save_dir}
+            rec["cur"] = []
+            t.train(num_iterations=n)
+            hashes.append(list(rec["cur"]))
+        return hashes
+
+    (full,) = run("GrainCTCReaderSequence2D", "g_full", [10])
+    g1, g2 = run("GrainCTCReaderSequence2D", "g_split", [5, 5])
+    assert g1 == full[:5]            # same seed -> same prefix
+    assert g2 == full[5:]            # the relaunch REPLAYS the stream
+
+    (tfull,) = run("CTCRAMReaderSequence2D", "t_full", [10])
+    t1, t2 = run("CTCRAMReaderSequence2D", "t_split", [5, 5])
+    assert t1 == tfull[:5]           # deterministic within one launch
+    assert t2 != tfull[5:]           # but the relaunch RESTARTS the schedule
+    assert t2 == tfull[:5]           # ... from the beginning
