@@ -26,6 +26,13 @@ BENCH_STAGES = [
     ("Ma_train_B5_parity", "train B5T7 parity (r3: ~24.7)"),
     ("Mb_train_B8_muf32", "train B8T7 mu=f32 (r3: 41.09)"),
     ("Mc_train_B8_mubf16", "train B8T7 mu=bf16"),
+    # round 5
+    ("12a_knee_B12T7", "train B12T7 (knee probe; B8: 41.1)"),
+    ("12b_knee_B16T7", "train B16T7 (knee probe)"),
+    ("15a_probe_ctl", "int8 streaming control (r4: 33.2)"),
+    ("15b_probe_half_dec0", "PROBE decoder L0 channels halved"),
+    ("15c_probe_half_enc0", "PROBE encoder L0 channels halved"),
+    ("15d_probe_half_l0", "PROBE both L0 regions halved"),
 ]
 
 SEG_STAGES = [
@@ -37,6 +44,9 @@ SEG_STAGES = [
     ("7a_ns_defaults", "non-square 628x690 defaults"),
     ("7b_ns_joint", "non-square joint recipe"),
     ("7c_ns_agree_chip", "non-square agree seq (chip)"),
+    # round 5
+    ("11b_v4ft_val_dump", "v4ft completed, VAL 03 defaults"),
+    ("11c_v4ft_eval_dump", "v4ft completed, eval defaults"),
 ]
 
 
@@ -116,7 +126,16 @@ def main() -> None:
 
     for tag, fn in [("select_best (stage 5)", "select_best.json"),
                     ("eval-rank diagnostic (stage 8)",
-                     "select_best_evalrank.json")]:
+                     "select_best_evalrank.json"),
+                    ("v4ft truncated soup (stage 9)", "select_best_v4ft.json"),
+                    ("v4ft completed soup, recalibrated recipe (stage 11e)",
+                     "select_best_v4ft_full.json"),
+                    ("seed-1 selection (stage 14b)", "select_best_s1.json"),
+                    ("seed-2 selection (stage 14d)", "select_best_s2.json"),
+                    ("seed-1 eval-rank tau (stage 14e)",
+                     "select_best_s1_evalrank.json"),
+                    ("seed-2 eval-rank tau (stage 14f)",
+                     "select_best_s2_evalrank.json")]:
         p = os.path.join(out_root, fn)
         if os.path.exists(p):
             with open(p) as f:
@@ -124,13 +143,19 @@ def main() -> None:
             print(f"\n### {tag}\n")
             for r in s.get("val_ranking", []):
                 line = (f"- step {r['step']}: val {r['val_mean']}"
+                        + (f", det {r['val_det_mean']}"
+                           if "val_det_mean" in r else "")
                         + (f", eval {r['eval_mean']}" if "eval_mean" in r
                            else ""))
                 print(line)
+            if "val_seg_det_tau" in s:
+                print(f"- val SEG-vs-DET tau: {s['val_seg_det_tau']}")
             if "soup_steps" in s:
                 print(f"- soup{s['soup_steps']}: eval "
                       f"{s.get('eval_soup_mean', 'pending')}"
-                      f" | int8 {s.get('eval_soup_int8_mean', 'pending')}")
+                      + (f" (det {s['eval_soup_det_mean']})"
+                         if "eval_soup_det_mean" in s else "")
+                      + f" | int8 {s.get('eval_soup_int8_mean', 'pending')}")
             if "rank_agreement_tau" in s:
                 print(f"- val-vs-eval Kendall tau: {s['rank_agreement_tau']}")
             if "pruned_steps" in s:
@@ -146,6 +171,30 @@ def main() -> None:
         print("\n### chip-vs-CPU mask agreement (stage 7d)\n")
         for l in tail:
             print(f"    {l}")
+
+    # trainer-log throughput (grain A/B + seed trains): mean of the
+    # per-100-step frames/s prints over the steady tail
+    fps_re = re.compile(r"step \d+: .*\(([0-9.]+) frames/s\)")
+    rows = []
+    for name, desc in [("13a_grainab_threaded", "300-step threaded reader"),
+                       ("13b_grainab_grain", "300-step grain reader"),
+                       ("14a_train_s1", "seed-1 v3bw retrain (grain)"),
+                       ("14c_train_s2", "seed-2 v3bw retrain (grain)")]:
+        try:
+            with open(os.path.join(logs, f"{name}.log")) as f:
+                vals = [float(m.group(1)) for m in fps_re.finditer(f.read())]
+        except OSError:
+            vals = []
+        # drop the first print (amortizes compile) and average the rest
+        tailv = vals[1:] or vals
+        rows.append((name, desc,
+                     f"{sum(tailv)/len(tailv):.2f}" if tailv else "pending",
+                     len(vals)))
+    print("\n### Trainer-log throughput (frames/s, mean of steady prints)\n")
+    print("| stage | config | frames/s | prints |")
+    print("|---|---|---|---|")
+    for name, desc, v, n in rows:
+        print(f"| {name} | {desc} | {v} | {n} |")
 
 
 if __name__ == "__main__":
