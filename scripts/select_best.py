@@ -271,18 +271,45 @@ def main() -> None:
             shutil.rmtree(build)
         out_step = average_checkpoints(args.model_path, build,
                                        steps=best_two)
+        chosen = list(best_two)
+        # Transient guard (r4 stage-9 lesson, measured: soup(8500,9000) of a
+        # mid-transient fine-tune evaled 0.5514 vs 0.6895 for its best
+        # single step): averaging assumes a CONVERGED tail. Check the soup
+        # on the SAME val sequences the ranking used and fall back to the
+        # best single step when averaging loses — a pre-registered val
+        # decision, never an eval one.
+        if len(best_two) > 1:
+            sv = run_sweep(build, os.path.join(args.data_root, "train"),
+                           os.path.join(work, "val_soup_"
+                                        + "_".join(map(str, best_two))),
+                           args.recipe, seqs=args.val_seqs)["seg"]
+            if not sv:
+                raise RuntimeError("soup val sweep parsed no SEG scores — "
+                                   "refusing to gate on 0.0")
+            soup_val = sum(sv.values()) / len(sv)
+            summary["val_soup_mean"] = round(soup_val, 4)
+            if soup_val < ranking[0]["val_mean"]:
+                print(f"select_best: soup{best_two} val {soup_val:.4f} < "
+                      f"best single step {ranking[0]['step']} val "
+                      f"{ranking[0]['val_mean']:.4f} — shipping the single "
+                      "step (transient tail: do not average)", flush=True)
+                chosen = [ranking[0]["step"]]
+                shutil.rmtree(build)
+                out_step = average_checkpoints(args.model_path, build,
+                                               steps=chosen)
+        summary["artifact_steps"] = chosen
         summary["best_dir"] = args.best_dir
         summary["best_step"] = out_step
         if args.recipe:
             shutil.copyfile(args.recipe, os.path.join(build, "recipe.json"))
         with open(os.path.join(build, "provenance.json"), "w") as f:
             json.dump({"source": os.path.abspath(args.model_path),
-                       "soup_steps": best_two,
+                       "soup_steps": chosen,
                        "val_seqs": args.val_seqs,
                        "val_ranking": ranking}, f, indent=1)
 
         # confirm ONCE on eval (pre-registered winner — no eval ranking)
-        soup_tag = "_".join(map(str, best_two))  # cache key tracks the soup
+        soup_tag = "_".join(map(str, chosen))  # cache key tracks the soup
         soup_sw = run_sweep(build,
                             os.path.join(args.data_root, "eval"),
                             os.path.join(work, f"eval_soup_{soup_tag}"),
@@ -298,7 +325,7 @@ def main() -> None:
         if soup_sw["det"]:
             summary["eval_soup_det_mean"] = round(
                 sum(soup_sw["det"].values()) / len(soup_sw["det"]), 4)
-        print(f"select_best: soup{best_two} eval mean "
+        print(f"select_best: artifact{chosen} eval mean "
               f"{summary['eval_soup_mean']:.4f}", flush=True)
 
         if not args.skip_int8:
@@ -331,7 +358,7 @@ def main() -> None:
 
     # --- prune stale step dirs ---------------------------------------------
     if args.prune:
-        keep = set(best_two) | {saved[-1]}
+        keep = set(best_two) | set(chosen) | {saved[-1]}
         pruned = []
         for s in saved:
             if s in keep:

@@ -78,6 +78,10 @@ def test_select_best_ranks_soups_prunes(tmp_path, monkeypatch):
             m = val_mean[ckpt_step]
             return {"seg": {"val/03": m + 0.01, "val/10": m - 0.01},
                     "det": {"val/03": m, "val/10": m - 0.02}}
+        if os.path.basename(data_root) == "train":
+            # transient guard: the soup's own val sweep — here the soup
+            # WINS (>= best single 0.93), so it ships
+            return {"seg": {"val/03": 0.95, "val/10": 0.94}, "det": {}}
         return {"seg": {"eval/01": 0.92, "eval/02": 0.91, "eval/03": 0.93},
                 "det": {"eval/01": 0.95}}
 
@@ -234,7 +238,7 @@ def test_failed_rerun_preserves_previous_best_artifact(tmp_path, monkeypatch):
 
     def fake_sweep(model_path, data_root, output_root, recipe_arg,
                    seqs="", ckpt_step=0, dtype="", calibrate=0, timeout=0):
-        if ckpt_step:
+        if os.path.basename(data_root) == "train":  # ranking + soup val
             return {"seg": {"val/03": 0.9, "val/10": 0.9}, "det": {}}
         # eval confirm parses nothing -> must raise, not swap
         return {"seg": {}, "det": {}}
@@ -246,3 +250,53 @@ def test_failed_rerun_preserves_previous_best_artifact(tmp_path, monkeypatch):
     with pytest.raises(RuntimeError, match="refusing to record 0.0"):
         sb.main()
     assert (best_dir / "PRECIOUS").read_text() == "previous round's artifact"
+
+
+def test_transient_tail_ships_single_step_not_soup(tmp_path, monkeypatch):
+    # r4 stage-9 lesson, now enforced in code: when the soup's own VAL score
+    # is below the best single step's (mid-transient tail — e.g. v4ft saves
+    # 10500 val 0.55 / 11000 val 0.86), the artifact must be the single
+    # step, never the damaged average.
+    sb = _load_module()
+    run = _fake_run(tmp_path, make_ckpt_steps=(10500, 11000))
+    data = tmp_path / "heldout"
+    (data / "train").mkdir(parents=True)
+    (data / "eval").mkdir()
+    best_dir = tmp_path / "best"
+    out_json = tmp_path / "s.json"
+
+    val_mean = {10500: 0.55, 11000: 0.86}
+
+    def fake_sweep(model_path, data_root, output_root, recipe_arg,
+                   seqs="", ckpt_step=0, dtype="", calibrate=0, timeout=0):
+        if ckpt_step:
+            m = val_mean[ckpt_step]
+            return {"seg": {"val/03": m}, "det": {}}
+        if os.path.basename(data_root) == "train":
+            return {"seg": {"val/03": 0.70}, "det": {}}  # soup LOSES on val
+        return {"seg": {"eval/01": 0.84}, "det": {}}
+
+    monkeypatch.setattr(sb, "run_sweep", fake_sweep)
+    monkeypatch.setattr(sys, "argv", [
+        "select_best.py", "--model_path", str(run), "--data_root", str(data),
+        "--val_seqs", "03", "--best_dir", str(best_dir), "--skip_int8",
+        "--out", str(out_json)])
+    sb.main()
+
+    s = json.loads(out_json.read_text())
+    assert s["soup_steps"] == [10500, 11000]      # the candidate pair
+    assert s["artifact_steps"] == [11000]          # ...but the single ships
+    assert s["val_soup_mean"] == 0.7
+    prov = json.load(open(os.path.join(best_dir, "provenance.json")))
+    assert prov["soup_steps"] == [11000]
+    # restored weights equal step 11000's params (value 1.0 in _fake_run),
+    # not the (0.0 + 1.0)/2 average
+    import orbax.checkpoint as ocp
+
+    from lstm_unet_tpu.checkpoint import CheckpointManager
+    mgr = CheckpointManager(str(best_dir))
+    restored = mgr._mgr.restore(
+        mgr.latest_step(),
+        args=ocp.args.Composite(params=ocp.args.StandardRestore()))
+    mgr.close()
+    assert np.allclose(np.asarray(restored["params"]["w"]), 1.0)
