@@ -151,7 +151,13 @@ def main() -> None:
             if "val_seg_det_tau" in s:
                 print(f"- val SEG-vs-DET tau: {s['val_seg_det_tau']}")
             if "soup_steps" in s:
-                print(f"- soup{s['soup_steps']}: eval "
+                # the shipped artifact may be a single step when the
+                # val-gated transient guard rejected the soup
+                art = s.get("artifact_steps", s["soup_steps"])
+                label = (f"soup{art}" if art == s["soup_steps"]
+                         else f"single-step{art} (transient guard: "
+                              f"soup{s['soup_steps']} lost on val)")
+                print(f"- shipped {label}: eval "
                       f"{s.get('eval_soup_mean', 'pending')}"
                       + (f" (det {s['eval_soup_det_mean']})"
                          if "eval_soup_det_mean" in s else "")
