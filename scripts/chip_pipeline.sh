@@ -435,3 +435,14 @@ if [ -e "$LOGS/14d_select_s2.ok" ] && [ -n "$S2MODEL" ]; then
     --out "$OUT/select_best_s2_evalrank.json"
 fi
 echo "=== PIPELINE (round-5 stages) COMPLETE $(date)"
+
+# === 13b retry (appended): the first attempt died at step-1 metric fetch
+# with a transient TPU FailedPrecondition (wedged device client — the
+# known axon gotcha; 15a reproduced the control number minutes later, so
+# the chip itself was healthy). No .ok was written, so this rerun is a
+# no-op if a prior relaunch already completed it. The 14a/14c seed trains
+# use the SAME B5T7/crop-256 config with the grain provider, so their
+# steady-state frames/s prints are the backup A/B datum if the round ends
+# before this line.
+stage 13b_grainab_grain grain_ab GrainCTCReaderSequence2D grn
+echo "=== PIPELINE (13b retry) COMPLETE $(date)"
