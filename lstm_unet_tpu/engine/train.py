@@ -541,6 +541,7 @@ class Trainer:
         spike_ema: Optional[float] = None
         spike_last_rollback = -(10 ** 9)
         spike_rollbacks = 0
+        spike_pending: Dict[str, Any] = {}  # last step's un-fetched metrics
 
         profiling = False
         watchdog = None
@@ -578,16 +579,27 @@ class Trainer:
                 frames_done += img.shape[0] * img.shape[1]
 
                 if p.spike_factor > 0:
-                    # per-step host fetch of the scalar loss: ~ms through
-                    # the tunnel vs the ~1.4 s step — negligible, and
-                    # donation already serializes the dispatch pipeline
-                    loss_now = float(metrics["loss"])
+                    # Lag-1 spike check: fetch the PREVIOUS step's loss,
+                    # only after this step is already dispatched. A float()
+                    # on the fresh metrics forces a full host<->device sync
+                    # per step; through the tunnel that round-trip costs
+                    # ~0.2 s of the ~1.4 s B5T7 step (measured 24.7 -> 21.6
+                    # frames/s, r5 stages 13a vs 14a). With the one-step lag
+                    # the fetch overlaps the in-flight step, so dispatch
+                    # stays pipelined — and catching a spike one step late
+                    # is free, because rollback restores the last
+                    # checkpoint either way.
+                    loss_now = (float(spike_pending["loss"])
+                                if spike_pending else None)
+                    spike_pending = metrics
                     armed = (it >= p.spike_warmup
                              and self.global_step - spike_last_rollback
                              >= p.spike_cooldown)
-                    spiked = spike_ema is not None and armed and (
-                        not np.isfinite(loss_now)
-                        or loss_now > p.spike_factor * max(spike_ema, 1e-8))
+                    spiked = (loss_now is not None and spike_ema is not None
+                              and armed
+                              and (not np.isfinite(loss_now)
+                                   or loss_now > p.spike_factor
+                                   * max(spike_ema, 1e-8)))
                     if spiked:
                         spike_rollbacks += 1
                         if spike_rollbacks > p.spike_max_rollbacks:
@@ -596,7 +608,7 @@ class Trainer:
                                 f"recurring divergence, aborting (check LR / "
                                 f"data)")
                         log_print(
-                            f"SPIKE at step {self.global_step}: "
+                            f"SPIKE at step {self.global_step - 1}: "
                             f"loss={loss_now:.4f} > {p.spike_factor:.1f} x "
                             f"EMA {spike_ema:.4f} — rolling back to last "
                             f"checkpoint ({spike_rollbacks}/"
@@ -604,10 +616,14 @@ class Trainer:
                         self._rollback()
                         lstm_state = self._fresh_state()
                         spike_last_rollback = self.global_step
+                        # the step dispatched above ran FROM the spiked
+                        # weights — its loss must not feed the EMA or
+                        # re-trigger the guard
+                        spike_pending = {}
                         if self.tb:
                             self.tb.add_scalar("train/spike_rollback", 1.0,
                                                self.global_step)
-                    elif np.isfinite(loss_now):
+                    elif loss_now is not None and np.isfinite(loss_now):
                         d = p.spike_ema_decay
                         spike_ema = (loss_now if spike_ema is None
                                      else d * spike_ema + (1 - d) * loss_now)
@@ -683,6 +699,22 @@ class Trainer:
                             f"{self.global_step} — saving and exiting "
                             f"{STALL_EXIT_CODE} for a supervisor relaunch")
                         raise SystemExit(STALL_EXIT_CODE)
+
+            # drain the lag-1 spike check: the last dispatched step has not
+            # been inspected yet — roll back before the final save captures
+            # a spiked iterate
+            if (p.spike_factor > 0 and spike_pending
+                    and spike_ema is not None
+                    and spike_rollbacks <= p.spike_max_rollbacks):
+                loss_now = float(spike_pending["loss"])
+                if (not np.isfinite(loss_now)
+                        or loss_now > p.spike_factor * max(spike_ema, 1e-8)):
+                    log_print(
+                        f"SPIKE at final step {self.global_step}: "
+                        f"loss={loss_now:.4f} > {p.spike_factor:.1f} x EMA "
+                        f"{spike_ema:.4f} — rolling back before the final "
+                        f"save")
+                    self._rollback()
         finally:
             if profiling:  # stop leaked traces (short runs / exceptions)
                 try:
