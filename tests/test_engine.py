@@ -640,6 +640,24 @@ def test_spike_guard_without_checkpoint_warns_and_continues(synth_root,
     assert "no checkpoint to roll back to" in capsys.readouterr().out
 
 
+def test_spike_guard_drains_final_step(synth_root, tmp_path, capsys):
+    """Lag-1 guard: the last dispatched step is only inspected after the
+    loop — a 'spike' there must still roll back BEFORE the final save
+    captures the spiked iterate. spike_warmup > n_iter keeps the in-loop
+    guard disarmed so only the post-loop drain can fire (factor 0.5 makes
+    any steady loss a 'spike' vs its own EMA)."""
+    p = _params(synth_root, tmp_path, save_checkpoint_iteration=2,
+                validation_interval=10**6, spike_factor=0.5,
+                spike_warmup=10**6, spike_cooldown=1, spike_max_rollbacks=5)
+    t = Trainer(p, seed=0)
+    t.train(num_iterations=6)
+    out = capsys.readouterr().out
+    assert "SPIKE at final step" in out
+    assert "rolling back before the final save" in out
+    assert "restored weights/opt from step" in out
+    assert out.count("SPIKE") == 1  # the in-loop guard never armed
+
+
 def test_spike_guard_off_by_default(synth_root, tmp_path, capsys):
     """spike_factor=0 (reference parity): no guard activity at all."""
     p = _params(synth_root, tmp_path, validation_interval=10**6)
